@@ -1,0 +1,135 @@
+"""Configuration for word2bits_tpu.
+
+Mirrors the reference CLI's 17 flags and their defaults
+(reference src/word2bits.cpp:48-59 for defaults, :596-611 for the flag names),
+as a validated dataclass.  The reference's `-threads` flag configured Hogwild
+thread count; here it is kept for CLI compatibility but maps onto batch /
+mesh configuration (Hogwild's racy shared-memory parallelism has no TPU
+equivalent — the idiomatic formulation is a synchronous minibatched step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class Word2BitsConfig:
+    """Training configuration.
+
+    Field names/defaults follow the reference flags
+    (reference src/word2bits.cpp:48-59):
+      -bitlevel 1 -size 100 -window 5 -negative 5 -alpha 0.05 -sample 1e-3
+      -min-count 5 -threads 12 -iter 5 -reg 0 -binary 0 -debug 2
+      -save-every-epoch 0 -classes 0
+    """
+
+    # --- file paths (reference -train/-output/-save-vocab/-read-vocab) ---
+    train_file: Optional[str] = None
+    output_file: Optional[str] = None
+    save_vocab_file: Optional[str] = None
+    read_vocab_file: Optional[str] = None
+
+    # --- model ---
+    bitlevel: int = 1          # quantization level; 0 = full precision
+    size: int = 100            # embedding dimension (reference layer1_size)
+    window: int = 5            # max context half-width
+    negative: int = 5          # negative samples per center word
+    alpha: float = 0.05        # starting learning rate
+    sample: float = 1e-3       # frequent-word subsampling threshold
+    min_count: int = 5         # prune words rarer than this from the vocab
+    iter: int = 5              # epochs
+    reg: float = 0.0           # L2 regularization on quantized params
+    binary: bool = False       # output format: binary fp32 rows vs Glove text
+    debug: int = 2             # verbosity (2 = progress lines)
+    save_every_epoch: bool = False
+    classes: int = 0           # reference flag; nonzero produced empty output
+
+    # --- TPU execution (replaces reference -threads semantics) ---
+    threads: int = 12          # accepted for CLI compat; not a parallelism knob
+    batch_size: int = 1024     # centers per synchronous step
+    steps_per_chunk: int = 256 # steps fused into one jitted scan call
+    seed: int = 1
+    init: str = "reference"    # "reference" (exact LCG parity) or "uniform"
+    dtype: str = "float32"
+
+    # --- sharding ---
+    mesh_shape: Optional[dict] = None  # e.g. {"data": 2, "vocab": 4}; None = single chip
+
+    def __post_init__(self):
+        if self.bitlevel == 3:
+            # The reference's quantize() has a hole at bitlevel 3: every input
+            # maps to 0.0 (verified; reference src/word2bits.cpp:73-108 falls
+            # through all branches with retval=0).  Training at bitlevel 3
+            # therefore silently learns nothing.  We reject it up front; the
+            # low-level quantize() op still reproduces the 0.0 behavior.
+            raise ValueError(
+                "bitlevel=3 is rejected: the reference quantizer maps every "
+                "value to 0 at bitlevel 3 (a bug-hole in "
+                "reference src/word2bits.cpp:73-108). Use 0, 1, 2, or >=4."
+            )
+        if self.bitlevel < 0:
+            raise ValueError(f"bitlevel must be >= 0, got {self.bitlevel}")
+        if self.size <= 0:
+            raise ValueError(f"size must be positive, got {self.size}")
+        if self.window <= 0:
+            raise ValueError(f"window must be positive, got {self.window}")
+        if self.negative < 0:
+            raise ValueError(f"negative must be >= 0, got {self.negative}")
+        if self.iter <= 0:
+            raise ValueError(f"iter must be positive, got {self.iter}")
+        if self.min_count < 0:
+            raise ValueError(f"min_count must be >= 0, got {self.min_count}")
+        if self.batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {self.batch_size}")
+        if self.init not in ("reference", "uniform"):
+            raise ValueError(f"init must be 'reference' or 'uniform', got {self.init!r}")
+
+    def replace(self, **kwargs) -> "Word2BitsConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+# The reference flag spellings, for the CLI layer (reference src/word2bits.cpp:596-611).
+REFERENCE_FLAGS = {
+    "-train": ("train_file", str),
+    "-output": ("output_file", str),
+    "-save-vocab": ("save_vocab_file", str),
+    "-read-vocab": ("read_vocab_file", str),
+    "-bitlevel": ("bitlevel", int),
+    "-size": ("size", int),
+    "-window": ("window", int),
+    "-negative": ("negative", int),
+    "-alpha": ("alpha", float),
+    "-sample": ("sample", float),
+    "-min-count": ("min_count", int),
+    "-iter": ("iter", int),
+    "-reg": ("reg", float),
+    "-binary": ("binary", lambda s: bool(int(s))),
+    "-debug": ("debug", int),
+    "-save-every-epoch": ("save_every_epoch", lambda s: bool(int(s))),
+    "-classes": ("classes", int),
+    "-threads": ("threads", int),
+    # Extensions beyond the reference:
+    "-batch-size": ("batch_size", int),
+    "-seed": ("seed", int),
+}
+
+
+def config_from_argv(argv) -> Word2BitsConfig:
+    """Parse a reference-style flag list (positional `-flag value` scan,
+    reference src/word2bits.cpp:579-611) into a config."""
+    kwargs = {}
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if tok in REFERENCE_FLAGS:
+            if i + 1 >= len(argv):
+                raise SystemExit(f"Argument missing for {tok}")
+            field, conv = REFERENCE_FLAGS[tok]
+            kwargs[field] = conv(argv[i + 1])
+            i += 2
+        else:
+            i += 1  # reference ArgPos ignores unknown tokens
+    return Word2BitsConfig(**kwargs)

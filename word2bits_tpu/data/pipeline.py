@@ -1,0 +1,116 @@
+"""Epoch array construction: subsampling + sentence segmentation + padding.
+
+The reference worker interleaves corpus reading, frequent-word subsampling and
+sentence buffering per thread (reference src/word2bits.cpp:394-413).  The
+TPU-native formulation precomputes, once per epoch, a flat *kept-token* array
+plus a parallel *sentence-id* array, padded to a fixed capacity so every
+training step has static shapes.  The jitted step then slices consecutive
+centers and derives contexts from neighbors with matching sentence ids —
+dense, vectorized, MXU/VPU-friendly.
+
+Reference semantics preserved:
+  * keep probability (sqrt(cn/(s*T)) + 1) * (s*T)/cn, discard when that is
+    < uniform (reference src/word2bits.cpp:401-407); `</s>` is never
+    subsampled (the sentence-fill loop breaks on word 0 before the check).
+  * sentences break at `</s>` and at MAX_SENTENCE_LENGTH=1000 *kept* words
+    (reference src/word2bits.cpp:32,408-411); context windows never cross a
+    sentence boundary (:431-434).
+  * subsampling uses fresh randomness every epoch (per-thread LCG state
+    carries across the epoch loop) — here a fresh PRNG seed per epoch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+MAX_SENTENCE_LENGTH = 1000  # reference src/word2bits.cpp:32
+PAD_ID = np.int32(-1)
+
+
+def subsample_keep_probs(counts: np.ndarray, sample: float,
+                         train_words: int) -> np.ndarray:
+    """Per-word keep probability (reference src/word2bits.cpp:403-404).
+    Values can exceed 1 (always keep).  sample<=0 disables subsampling."""
+    counts = counts.astype(np.float64)
+    if sample <= 0:
+        return np.ones_like(counts)
+    st = sample * float(train_words)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ran = (np.sqrt(counts / st) + 1.0) * st / counts
+    ran[~np.isfinite(ran)] = 1.0  # count==0 rows (only `</s>` can be 0)
+    return ran
+
+
+@dataclass
+class EpochArrays:
+    """Device-ready epoch data.
+
+    tokens:   int32 [capacity] — kept word ids; PAD_ID beyond n_tokens and in
+              the left halo margin
+    sent_ids: int32 [capacity] — sentence index per token; -1 on padding
+    n_tokens: number of valid centers
+    halo:     number of PAD slots prepended so a slice starting at
+              (center - window) is always in bounds
+    """
+
+    tokens: np.ndarray
+    sent_ids: np.ndarray
+    n_tokens: int
+    halo: int
+
+
+def build_epoch_arrays(encoded: np.ndarray, counts: np.ndarray, sample: float,
+                       train_words: int, window: int, rng: np.random.Generator,
+                       capacity: int | None = None) -> EpochArrays:
+    """One epoch's subsampled, sentence-segmented, halo-padded arrays.
+
+    `encoded` is the full encoded corpus (id 0 = `</s>` sentence breaks, OOV
+    already dropped).  `capacity` fixes the padded length for stable jit
+    shapes across epochs (default: len(encoded) rounded up to a multiple of
+    1024).
+    """
+    encoded = np.asarray(encoded, dtype=np.int32)
+    is_sent = encoded == 0
+
+    keep_probs = subsample_keep_probs(counts, sample, train_words)
+    u = rng.random(encoded.shape[0])
+    keep = (u <= keep_probs[encoded]) | is_sent  # `</s>` never subsampled
+
+    kept = encoded[keep]
+    kept_is_sent = kept == 0
+
+    # Sentence index: increments after each `</s>`; the `</s>` tokens
+    # themselves are then dropped.
+    sent_base = np.cumsum(kept_is_sent, dtype=np.int64)
+    sent_base = np.concatenate([[0], sent_base[:-1]])  # id of the sentence a token is in
+    tokens = kept[~kept_is_sent]
+    sent_of_tok = sent_base[~kept_is_sent]
+
+    # Split sentences longer than MAX_SENTENCE_LENGTH kept words: position
+    # within sentence // 1000 becomes a sub-sentence component.
+    if tokens.shape[0] > 0:
+        change = np.concatenate([[True], sent_of_tok[1:] != sent_of_tok[:-1]])
+        starts = np.flatnonzero(change)
+        pos_in_sent = np.arange(tokens.shape[0], dtype=np.int64)
+        pos_in_sent -= np.repeat(starts, np.diff(np.append(starts, tokens.shape[0])))
+        sub = pos_in_sent // MAX_SENTENCE_LENGTH
+        # combine (sentence, sub) into a single increasing id
+        combo = sent_of_tok * ( (pos_in_sent.max() // MAX_SENTENCE_LENGTH) + 2 ) + sub
+        _, sent_final = np.unique(combo, return_inverse=True)
+        sent_final = sent_final.astype(np.int32)
+    else:
+        sent_final = np.zeros(0, dtype=np.int32)
+
+    n = tokens.shape[0]
+    halo = int(window)
+    if capacity is None:
+        capacity = ((len(encoded) + 1023) // 1024) * 1024
+    total = halo + capacity + halo  # left margin + data+padding + right margin
+    out_tokens = np.full(total, PAD_ID, dtype=np.int32)
+    out_sents = np.full(total, -1, dtype=np.int32)
+    out_tokens[halo:halo + n] = tokens
+    out_sents[halo:halo + n] = sent_final
+    return EpochArrays(tokens=out_tokens, sent_ids=out_sents,
+                       n_tokens=n, halo=halo)
