@@ -1,0 +1,93 @@
+"""Command-line entry points mirroring the two reference binaries.
+
+`word2bits` trainer: same flag spellings/defaults as the reference argv scan
+(reference src/word2bits.cpp:591-621) — e.g.
+
+    python -m word2bits_tpu.cli train -train text8 -output vec.bin \
+        -size 200 -window 8 -negative 24 -iter 5 -min-count 5 -bitlevel 1 -binary 1
+
+`compute_accuracy` evaluator: same positional interface as the reference
+(reference src/compute-accuracy.c:73-79): FILE [bitlevel] [threshold], with
+questions on stdin (or -questions FILE).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from word2bits_tpu.config import config_from_argv
+
+
+def train_main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    cfg = config_from_argv(argv)
+    if cfg.train_file is None:
+        print("word2bits_tpu trainer\n"
+              "Required: -train <file>. Optional flags (reference-compatible):\n"
+              "  -output -bitlevel -size -window -negative -alpha -sample\n"
+              "  -min-count -iter -reg -binary -debug -save-every-epoch\n"
+              "  -save-vocab -read-vocab -classes -threads\n"
+              "Extensions: -batch-size -seed")
+        return 0
+    from word2bits_tpu.train import prepare, train
+
+    print(f"Starting training using file {cfg.train_file}")
+    if not cfg.output_file:
+        # reference: vocab build (and optional -save-vocab) only, no training
+        # (reference src/word2bits.cpp:527 returns before InitNet)
+        prepare(cfg)
+        return 0
+    train(cfg)
+    return 0
+
+
+def accuracy_main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("Usage: compute-accuracy <FILE> <bitlevel> <threshold> "
+              "[-questions FILE]\nwhere FILE contains word projections "
+              "(questions on stdin unless -questions is given)")
+        return 0
+    questions_path = None
+    if "-questions" in argv:
+        i = argv.index("-questions")
+        questions_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+
+    path = argv[0]
+    bitlevel = int(argv[1]) if len(argv) > 1 else 0
+    threshold = int(argv[2]) if len(argv) > 2 else 0
+
+    from word2bits_tpu.eval.analogy import (
+        evaluate_analogies, format_report, load_questions)
+    from word2bits_tpu.io.vectors import read_vectors
+
+    words, vectors = read_vectors(path, max_words=threshold)
+    print("Starting eval...", flush=True)
+    if questions_path:
+        questions = load_questions(questions_path)
+    else:
+        import io as _io
+        import tempfile
+        with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as tf:
+            tf.write(sys.stdin.read())
+            tmp = tf.name
+        questions = load_questions(tmp)
+    result = evaluate_analogies(words, vectors, questions,
+                                bitlevel=bitlevel, threshold=threshold)
+    print(format_report(result))
+    return 0
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if args and args[0] == "train":
+        return train_main(args[1:])
+    if args and args[0] in ("accuracy", "compute-accuracy"):
+        return accuracy_main(args[1:])
+    # bare invocation with reference flags -> trainer
+    return train_main(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,209 @@
+"""Google-analogies evaluator: the reference's O(Q*V*D) scalar scan
+(reference src/compute-accuracy.c:63-189) as one jitted matmul.
+
+Per question a:b::c:d the reference computes vec = M[b] - M[a] + M[c] over
+L2-normalized (optionally re-quantized) rows and takes the argmax dot product
+over all rows except a, b, c (3COSADD, top-1).  Here all Q questions become a
+(Q, D) matrix, scores are one (Q, D) @ (D, V) matmul on the MXU, and the
+a/b/c exclusions are per-row masks.
+
+Reference behaviors preserved:
+  * vocabulary uppercased on load; duplicate uppercased words resolve to the
+    lowest row (the linear scan finds the first match,
+    reference src/compute-accuracy.c:104,140-145)
+  * optional truncation to the top `threshold` rows (:86)
+  * optional re-quantization of loaded rows with a CLI bitlevel (:106)
+  * rows are L2-normalized after quantization (:107-110)
+  * questions with any OOV word are skipped but counted (TQ vs TQS,
+    :148-157); `</s>` is effectively never OOV-safe — it simply never matches
+  * best-distance starts at 0, so a prediction only counts if its score is
+    strictly positive (:115,167)
+  * semantic = the first 5 sections, syntactic = the rest (:181-183)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SEMANTIC_SECTIONS = 5  # reference QID <= 5 (src/compute-accuracy.c:181-183)
+
+
+@dataclass
+class AnalogyQuestions:
+    """Parsed questions-words.txt."""
+
+    sections: List[str]                    # section names in order
+    questions: List[Tuple[int, str, str, str, str]]  # (section_idx, a, b, c, d)
+
+
+def load_questions(path: str) -> AnalogyQuestions:
+    sections: List[str] = []
+    questions: List[Tuple[int, str, str, str, str]] = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == ":":
+                sections.append(parts[1] if len(parts) > 1 else "")
+                continue
+            if len(parts) != 4:
+                continue
+            a, b, c, d = (p.upper() for p in parts)
+            questions.append((len(sections) - 1, a, b, c, d))
+    return AnalogyQuestions(sections=sections, questions=questions)
+
+
+@dataclass
+class AnalogyResult:
+    section_names: List[str]
+    section_seen: np.ndarray      # int [S] — questions evaluated per section
+    section_correct: np.ndarray   # int [S]
+    total_questions: int          # TQ — all questions incl. OOV-skipped
+    seen_questions: int           # TQS
+
+    @property
+    def total_accuracy(self) -> float:
+        t = self.section_seen.sum()
+        return float(self.section_correct.sum()) / t * 100 if t else 0.0
+
+    def _acc(self, mask) -> float:
+        t = self.section_seen[mask].sum()
+        return float(self.section_correct[mask].sum()) / t * 100 if t else 0.0
+
+    @property
+    def semantic_accuracy(self) -> float:
+        m = np.arange(len(self.section_names)) < SEMANTIC_SECTIONS
+        return self._acc(m)
+
+    @property
+    def syntactic_accuracy(self) -> float:
+        m = np.arange(len(self.section_names)) >= SEMANTIC_SECTIONS
+        return self._acc(m)
+
+    @property
+    def coverage(self) -> float:
+        return self.seen_questions / self.total_questions * 100 \
+            if self.total_questions else 0.0
+
+
+@jax.jit
+def _analogy_scores(M_norm: jax.Array, abc: jax.Array) -> jax.Array:
+    """(Q,3) word-row indices -> (Q,) argmax-excluding-abc best row ids, and
+    whether the best score is strictly positive.  One MXU matmul."""
+    qa = M_norm[abc[:, 0]]
+    qb = M_norm[abc[:, 1]]
+    qc = M_norm[abc[:, 2]]
+    vec = qb - qa + qc                                   # [Q, D]
+    scores = jnp.dot(vec, M_norm.T,
+                     preferred_element_type=jnp.float32)  # [Q, V]
+    Q = scores.shape[0]
+    rows = jnp.arange(Q)
+    neg = jnp.asarray(-jnp.inf, scores.dtype)
+    for k in range(3):
+        scores = scores.at[rows, abc[:, k]].set(neg)
+    best = jnp.argmax(scores, axis=1)
+    best_score = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    return best, best_score
+
+
+def evaluate_analogies(words: List[str], vectors: np.ndarray,
+                       questions: AnalogyQuestions,
+                       bitlevel: int = 0,
+                       threshold: int = 0,
+                       batch_size: int = 4096) -> AnalogyResult:
+    """Reference compute_accuracy as a batched device computation."""
+    from word2bits_tpu.ops.quantize import quantize
+
+    M = np.asarray(vectors, dtype=np.float32)
+    if threshold and M.shape[0] > threshold:
+        M = M[:threshold]
+        words = words[:threshold]
+
+    # uppercase; first (most-frequent) row wins duplicates
+    index: Dict[str, int] = {}
+    for i, w in enumerate(words):
+        uw = w.upper()
+        if uw not in index:
+            index[uw] = i
+
+    Mq = np.asarray(quantize(jnp.asarray(M), bitlevel))
+    norm = np.sqrt((Mq * Mq).sum(axis=1, keepdims=True))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Mn = Mq / norm
+    Mn[~np.isfinite(Mn)] = 0.0
+    Mn_dev = jnp.asarray(Mn)
+
+    S = len(questions.sections)
+    seen = np.zeros(S, dtype=np.int64)
+    correct = np.zeros(S, dtype=np.int64)
+    tq = 0
+
+    # resolve all questions to indices; keep only fully-covered ones
+    resolved: List[Tuple[int, int, int, int, int]] = []
+    for sec, a, b, c, d in questions.questions:
+        tq += 1
+        ia, ib, ic, id_ = (index.get(x, -1) for x in (a, b, c, d))
+        if ia < 0 or ib < 0 or ic < 0 or id_ < 0:
+            continue
+        resolved.append((sec, ia, ib, ic, id_))
+
+    for ofs in range(0, len(resolved), batch_size):
+        chunk = resolved[ofs:ofs + batch_size]
+        abc = jnp.asarray([(ia, ib, ic) for _, ia, ib, ic, _ in chunk],
+                          dtype=jnp.int32)
+        best, best_score = _analogy_scores(Mn_dev, abc)
+        best = np.asarray(best)
+        pos = np.asarray(best_score) > 0.0  # reference bestd starts at 0 (:115)
+        for j, (sec, _, _, _, id_) in enumerate(chunk):
+            seen[sec] += 1
+            if pos[j] and best[j] == id_:
+                correct[sec] += 1
+
+    return AnalogyResult(
+        section_names=list(questions.sections),
+        section_seen=seen,
+        section_correct=correct,
+        total_questions=tq,
+        seen_questions=int(seen.sum()),
+    )
+
+
+def format_report(result: AnalogyResult) -> str:
+    """Reproduce the reference's printf transcript
+    (reference src/compute-accuracy.c:119-132,187) so outputs diff cleanly."""
+    out: List[str] = []
+    cacn = 0
+    tacn = 0
+    seac = sycn_c = 0
+    secn = sycn = 0
+    for s, name in enumerate(result.section_names):
+        out.append(f"{name}:")
+        ccn = int(result.section_correct[s])
+        tcn = int(result.section_seen[s])
+        cacn += ccn
+        tacn += tcn
+        if s < SEMANTIC_SECTIONS:
+            seac += ccn
+            secn += tcn
+        else:
+            sycn_c += ccn
+            sycn += tcn
+        tcn_p = tcn if tcn else 1  # reference: if TCN==0 TCN=1
+        out.append(f"ACCURACY TOP1: {ccn / tcn_p * 100:.2f} %  ({ccn} / {tcn_p})")
+        sem = seac / secn * 100 if secn else float("nan")
+        syn = sycn_c / sycn * 100 if sycn else float("nan")
+        tot = cacn / tacn * 100 if tacn else float("nan")
+        out.append(
+            f"Total accuracy: {tot:.2f} %   Semantic accuracy: {sem:.2f} %   "
+            f"Syntactic accuracy: {syn:.2f} % ")
+    cov = result.coverage
+    out.append(
+        f"Questions seen / total: {result.seen_questions} "
+        f"{result.total_questions}   {cov:.2f} % ")
+    return "\n".join(out)

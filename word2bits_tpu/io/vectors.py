@@ -1,0 +1,101 @@
+"""Reference-compatible vector serialization.
+
+Format (reference src/word2bits.cpp:544-556,561-576; README.md:122-132):
+  header line:  "<vocab_size> <size>\\n"   (ASCII decimal)
+  per row:      "<word> "  then `size` values, then "\\n"
+    binary=1:   raw little-endian float32 (fwrite)
+    binary=0:   printf "%lf " per value — i.e. %f with 6 decimals and a
+                trailing space per value (Glove/fasttext text format)
+
+The written vector for word i is quantize(u[i] + v[i], bitlevel)
+(reference src/word2bits.cpp:548-552).
+
+The binary format here is byte-for-byte what the reference `compute_accuracy`
+loader expects (reference src/compute-accuracy.c:96-106), so outputs
+cross-check against the original C evaluator.
+"""
+
+from __future__ import annotations
+
+import io as _io
+from typing import List, Tuple
+
+import numpy as np
+
+
+def _encode_word(w: str) -> bytes:
+    return w.encode("utf-8", errors="surrogateescape")
+
+
+def write_vectors(path: str, words: List[str], vectors: np.ndarray,
+                  binary: bool = False) -> None:
+    """Write rows exactly as the reference does."""
+    vectors = np.asarray(vectors, dtype=np.float32)
+    V, D = vectors.shape
+    if len(words) != V:
+        raise ValueError(f"{len(words)} words vs {V} rows")
+    buf = _io.BytesIO()
+    buf.write(f"{V} {D}\n".encode())
+    if binary:
+        rows = vectors.astype("<f4", copy=False)
+        for i, w in enumerate(words):
+            buf.write(_encode_word(w) + b" ")
+            buf.write(rows[i].tobytes())
+            buf.write(b"\n")
+    else:
+        for i, w in enumerate(words):
+            # C "%lf " prints 6 decimals + trailing space per value
+            vals = "".join(f"{x:f} " for x in vectors[i])
+            buf.write(_encode_word(w) + b" " + vals.encode() + b"\n")
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def read_vectors(path: str, binary: bool | None = None,
+                 max_words: int = 0) -> Tuple[List[str], np.ndarray]:
+    """Read either format. binary=None sniffs the format. max_words truncates
+    like the reference evaluator's threshold (src/compute-accuracy.c:86)."""
+    with open(path, "rb") as f:
+        header = f.readline().split()
+        V, D = int(header[0]), int(header[1])
+        if max_words and V > max_words:
+            V = max_words
+        if binary is None:
+            pos = f.tell()
+            probe = f.read(4096)
+            f.seek(pos)
+            # text rows contain only printable ASCII; binary rows contain raw
+            # fp32 bytes which are overwhelmingly non-ASCII
+            sample = probe.split(b" ", 1)[-1][:64]
+            binary = any(b > 0x7E or (b < 0x20 and b not in (0x0A, 0x0D))
+                         for b in sample)
+        words: List[str] = []
+        out = np.empty((V, D), dtype=np.float32)
+        if binary:
+            for i in range(V):
+                w = bytearray()
+                while True:
+                    c = f.read(1)
+                    if not c or c == b" ":
+                        break
+                    if c != b"\n":
+                        w += c
+                words.append(w.decode("utf-8", errors="surrogateescape"))
+                out[i] = np.frombuffer(f.read(4 * D), dtype="<f4")
+        else:
+            for i in range(V):
+                line = f.readline()
+                parts = line.split()
+                words.append(parts[0].decode("utf-8", errors="surrogateescape"))
+                out[i] = np.asarray(parts[1:D + 1], dtype=np.float32)
+    return words, out
+
+
+def output_vectors(u: np.ndarray, v: np.ndarray, bitlevel: int) -> np.ndarray:
+    """The exported representation: quantize(u + v, bitlevel)
+    (reference src/word2bits.cpp:548-550)."""
+    from word2bits_tpu.ops.quantize import quantize
+    import jax.numpy as jnp
+
+    s = jnp.asarray(np.asarray(u, np.float32) + np.asarray(v, np.float32))
+    return np.asarray(quantize(s, bitlevel))

@@ -1,0 +1,196 @@
+"""Training orchestration: the reference TrainModel
+(reference src/word2bits.cpp:518-577) re-designed for TPU.
+
+Epoch loop structure matches the reference: vocab build (or cached read),
+param init, unigram table, then per epoch a full pass over the corpus with
+fresh subsampling randomness, epoch-loss telemetry, optional per-epoch vector
+export, and a final vector write.  The reference's per-epoch
+pthread_create/join of Hogwild workers becomes a host loop over jitted
+`lax.scan` chunks of synchronous minibatch steps (the device never waits on
+the host between steps within a chunk).
+
+Extensions beyond the reference (SURVEY.md section 5): full train-state
+checkpointing (u, v, epoch, RNG) for real resume — the reference can only
+export vectors, not resume.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from word2bits_tpu.config import Word2BitsConfig
+from word2bits_tpu.data.corpus import build_vocab, encode_corpus
+from word2bits_tpu.data.pipeline import build_epoch_arrays
+from word2bits_tpu.data.vocab import Vocab
+from word2bits_tpu.io.vectors import output_vectors, write_vectors
+from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars, make_train_chunk
+from word2bits_tpu.models.init import init_params
+from word2bits_tpu.sampling.unigram import build_alias_table
+
+
+@dataclass
+class TrainResult:
+    vocab: Vocab
+    u: np.ndarray
+    v: np.ndarray
+    epoch_losses: List[float]
+    words_per_sec: float  # training words consumed per wall-second
+    steps: int
+
+
+def _log(cfg: Word2BitsConfig, msg: str, end="\n"):
+    if cfg.debug > 0:
+        print(msg, end=end, flush=True)
+
+
+def prepare(cfg: Word2BitsConfig) -> Tuple[Vocab, np.ndarray]:
+    """Vocab (built or cached) + encoded corpus ids."""
+    if cfg.train_file is None:
+        raise ValueError("train_file is required")
+    if cfg.read_vocab_file:
+        vocab = Vocab.load(cfg.read_vocab_file, min_count=cfg.min_count)
+    else:
+        vocab = build_vocab(cfg.train_file, min_count=cfg.min_count)
+    if cfg.save_vocab_file:
+        vocab.save(cfg.save_vocab_file)
+    _log(cfg, f"Vocab size: {vocab.size}")
+    _log(cfg, f"Words in train file: {vocab.train_words}")
+    encoded = encode_corpus(cfg.train_file, vocab)
+    return vocab, encoded
+
+
+def train(cfg: Word2BitsConfig,
+          vocab: Optional[Vocab] = None,
+          encoded: Optional[np.ndarray] = None,
+          max_steps: Optional[int] = None,
+          on_epoch_end: Optional[Callable] = None) -> TrainResult:
+    """Full training run. `vocab`/`encoded` may be precomputed (bench path)."""
+    if vocab is None or encoded is None:
+        vocab, encoded = prepare(cfg)
+
+    V, D = vocab.size, cfg.size
+    B, S, W = cfg.batch_size, cfg.steps_per_chunk, cfg.window
+    hyper = CBOWHyper(bitlevel=cfg.bitlevel, size=D, window=W,
+                      negative=cfg.negative, reg=cfg.reg)
+
+    u, v = init_params(V, D, init=cfg.init, seed=cfg.seed)
+    table = build_alias_table(vocab.unigram_weights())
+    chunk_fn = make_train_chunk(hyper, V, B, S)
+
+    train_words = vocab.train_words
+    denom = float(cfg.iter) * train_words + 1.0
+    # epoch arrays are padded to a fixed capacity so chunk shapes never change
+    capacity = ((len(encoded) + S * B + 8 + 1023) // 1024) * 1024
+
+    root_rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    epoch_losses: List[float] = []
+    total_steps = 0
+    words_done = 0.0
+    t_train0 = time.perf_counter()
+    stop = False
+
+    for epoch in range(cfg.iter):
+        _log(cfg, f"Starting epoch: {epoch}")
+        ep = build_epoch_arrays(encoded, vocab.counts, cfg.sample,
+                                train_words, W, root_rng, capacity=capacity)
+        tokens_dev = jnp.asarray(ep.tokens)
+        sents_dev = jnp.asarray(ep.sent_ids)
+        n_centers = max(ep.n_tokens, 1)
+        wca_per_step = B * train_words / n_centers
+        n_steps = math.ceil(ep.n_tokens / B)
+        n_chunks = max(1, math.ceil(n_steps / S))
+
+        epoch_loss = 0.0
+        t0 = time.perf_counter()
+        for ci in range(n_chunks):
+            key, sub = jax.random.split(key)
+            base0 = ep.halo + ci * S * B
+            scalars = ChunkScalars(
+                base0=jnp.int32(base0),
+                alpha0=jnp.float32(cfg.alpha),
+                wca_start=jnp.float32(words_done),
+                wca_per_step=jnp.float32(wca_per_step),
+                denom=jnp.float32(denom),
+            )
+            u, v, loss = chunk_fn(u, v, tokens_dev, sents_dev,
+                                  table.prob, table.alias, scalars, sub)
+            chunk_steps = min(S, n_steps - ci * S)
+            words_done += chunk_steps * wca_per_step
+            epoch_loss += float(loss)
+            total_steps += S
+            if cfg.debug > 1:
+                alpha_now = max(cfg.alpha * (1 - words_done / denom),
+                                cfg.alpha * 1e-4)
+                dt = time.perf_counter() - t0
+                wps = words_done / max(time.perf_counter() - t_train0, 1e-9)
+                print(f"\rAlpha: {alpha_now:.6f}  "
+                      f"Progress: {words_done / denom * 100:.2f}%  "
+                      f"Cost: {epoch_loss:.2f} "
+                      f"Words/sec: {wps / 1000:.2f}k  ",
+                      end="", flush=True)
+            if max_steps is not None and total_steps >= max_steps:
+                stop = True
+                break
+        # exact end-of-epoch word count (the reference's wca reaches
+        # (epoch+1)*train_words as all threads finish)
+        if not stop:
+            words_done = (epoch + 1) * float(train_words)
+        if cfg.debug > 1:
+            print()
+        _log(cfg, f"Epoch Loss: {epoch_loss:.6f}")
+        epoch_losses.append(epoch_loss)
+
+        if cfg.save_every_epoch and cfg.output_file and cfg.classes == 0:
+            _write_output(f"{cfg.output_file}_epoch{epoch}", vocab, u, v, cfg)
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, np.asarray(u), np.asarray(v), epoch_loss)
+        if stop:
+            break
+
+    wall = time.perf_counter() - t_train0
+    wps = words_done / max(wall, 1e-9)
+
+    if cfg.output_file:
+        if cfg.classes == 0:
+            _write_output(cfg.output_file, vocab, u, v, cfg)
+        else:
+            # reference quirk: -classes != 0 creates an *empty* output file
+            # (src/word2bits.cpp:561-576 writes nothing when classes != 0)
+            _log(cfg, "WARNING: -classes is parsed but unimplemented in the "
+                      "reference; writing an empty file for parity")
+            open(cfg.output_file, "wb").close()
+
+    return TrainResult(vocab=vocab, u=np.asarray(u), v=np.asarray(v),
+                       epoch_losses=epoch_losses, words_per_sec=wps,
+                       steps=total_steps)
+
+
+def _write_output(path: str, vocab: Vocab, u, v, cfg: Word2BitsConfig):
+    vecs = output_vectors(np.asarray(u), np.asarray(v), cfg.bitlevel)
+    write_vectors(path, vocab.words, vecs, binary=cfg.binary)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (extension over the reference's export-only snapshots)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, u, v, epoch: int, key, words_done: float):
+    np.savez(path, u=np.asarray(u), v=np.asarray(v), epoch=epoch,
+             key=np.asarray(key), words_done=words_done)
+
+
+def load_checkpoint(path: str):
+    z = np.load(path)
+    return (z["u"], z["v"], int(z["epoch"]), jnp.asarray(z["key"]),
+            float(z["words_done"]))
