@@ -1,0 +1,135 @@
+"""Benchmark: training words/sec on one TPU chip, flagship text8-like config
+(bitlevel 1, size 200, window 8, negative 24 — the reference README quickstart,
+README.md:93).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "words/sec", "vs_baseline": N}
+
+"words/sec" counts corpus words *consumed* (kept + subsample-discarded +
+sentence tokens), the same accounting as the reference's word_count_actual
+(reference src/word2bits.cpp:379-393), so it is directly comparable to the
+reference binary's throughput on the same corpus.
+
+Baseline: the reference C++ binary's measured words/sec on this container's
+CPU (4 threads), stored in bench_baseline.json by tools/measure_baseline.py.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache")
+BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
+
+# Bench scale: large enough to saturate the chip, small enough to build fast.
+N_TOKENS = 4_000_000
+VOCAB = 70_000
+CFG = dict(bitlevel=1, size=200, window=8, negative=24, min_count=5,
+           sample=1e-3, alpha=0.05, batch_size=2048, steps_per_chunk=64)
+BENCH_SECONDS = 20.0
+
+
+def _prepare():
+    """Corpus -> vocab -> encoded ids, all cached."""
+    os.makedirs(CACHE, exist_ok=True)
+    corpus = os.path.join(CACHE, f"zipf_{N_TOKENS}_{VOCAB}.txt")
+    npz = os.path.join(CACHE, f"enc_{N_TOKENS}_{VOCAB}_mc{CFG['min_count']}.npz")
+    if os.path.exists(npz):
+        z = np.load(npz, allow_pickle=True)
+        return z["encoded"], z["counts"], int(z["train_words"])
+    from word2bits_tpu.data.synthetic import zipf_corpus
+    from word2bits_tpu.data.corpus import build_vocab, encode_corpus
+    if not os.path.exists(corpus):
+        zipf_corpus(corpus, n_tokens=N_TOKENS, vocab=VOCAB)
+    vocab = build_vocab(corpus, min_count=CFG["min_count"])
+    encoded = encode_corpus(corpus, vocab)
+    np.savez(npz, encoded=encoded, counts=vocab.counts,
+             train_words=vocab.train_words)
+    return encoded, vocab.counts, vocab.train_words
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from word2bits_tpu.data.pipeline import build_epoch_arrays
+    from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars, make_train_chunk
+    from word2bits_tpu.models.init import init_params
+    from word2bits_tpu.sampling.unigram import build_alias_table
+
+    encoded, counts, train_words = _prepare()
+    V = len(counts)
+    B, S, W = CFG["batch_size"], CFG["steps_per_chunk"], CFG["window"]
+    hyper = CBOWHyper(bitlevel=CFG["bitlevel"], size=CFG["size"], window=W,
+                      negative=CFG["negative"], reg=0.0)
+
+    u, v = init_params(V, CFG["size"], init="uniform", seed=0)
+    table = build_alias_table(np.maximum(counts, 1) ** 0.75)
+    chunk_fn = make_train_chunk(hyper, V, B, S)
+
+    capacity = ((len(encoded) + S * B + 8 + 1023) // 1024) * 1024
+    ep = build_epoch_arrays(encoded, counts, CFG["sample"], train_words, W,
+                            np.random.default_rng(0), capacity=capacity)
+    tokens = jnp.asarray(ep.tokens)
+    sents = jnp.asarray(ep.sent_ids)
+    n_centers = max(ep.n_tokens, 1)
+    words_per_step = B * train_words / n_centers
+    denom = 5.0 * train_words + 1.0
+    max_chunks = max(1, n_centers // (S * B))
+
+    def scalars(ci, words_done):
+        return ChunkScalars(base0=jnp.int32(ep.halo + (ci % max_chunks) * S * B),
+                            alpha0=jnp.float32(CFG["alpha"]),
+                            wca_start=jnp.float32(words_done),
+                            wca_per_step=jnp.float32(words_per_step),
+                            denom=jnp.float32(denom))
+
+    key = jax.random.PRNGKey(0)
+    # warmup / compile.  NOTE: on the axon TPU backend block_until_ready is
+    # unreliable (returns before execution); a host scalar fetch is the only
+    # trustworthy synchronization, so all timing below syncs via float(loss).
+    key, sub = jax.random.split(key)
+    u, v, loss = chunk_fn(u, v, tokens, sents, table.prob, table.alias,
+                          scalars(0, 0.0), sub)
+    float(loss)
+
+    # timed region: pipeline 4 chunks per sync to amortize dispatch latency
+    t0 = time.perf_counter()
+    chunks = 0
+    words_done = 0.0
+    while True:
+        for _ in range(4):
+            key, sub = jax.random.split(key)
+            u, v, loss = chunk_fn(u, v, tokens, sents, table.prob, table.alias,
+                                  scalars(chunks, words_done), sub)
+            chunks += 1
+            words_done += S * words_per_step
+        float(loss)  # host fetch forces the dependency chain
+        if time.perf_counter() - t0 > BENCH_SECONDS:
+            break
+    dt = time.perf_counter() - t0
+    words_per_sec = words_done / dt
+
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        try:
+            baseline = json.load(open(BASELINE_FILE))["words_per_sec"]
+        except Exception:
+            baseline = None
+    vs = words_per_sec / baseline if baseline else None
+
+    print(json.dumps({
+        "metric": "train_words_per_sec_per_chip",
+        "value": round(words_per_sec, 1),
+        "unit": "words/sec",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

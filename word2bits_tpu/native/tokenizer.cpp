@@ -1,0 +1,179 @@
+// Native streaming tokenizer / vocab counter / corpus encoder.
+//
+// The host-side analog of the reference's L2 corpus layer
+// (reference src/word2bits.cpp:131-341): ReadWord-compatible tokenization
+// (space/tab/newline boundaries, '\r' skipped, newline -> </s>, >4094-char
+// truncation quirk, trailing-EOF word dropped), single-pass frequency
+// counting with the emergency ReduceVocab prune (>21M distinct words,
+// reference :244-263,:292), and corpus->int32-id encoding with OOV dropped.
+//
+// This is a fresh implementation designed around buffered block IO and
+// std::unordered_map, not a port of the reference's open-addressing table.
+// Interfaces are C ABI for ctypes; results stream to files so Python can
+// mmap them.
+//
+// Build: g++ -O3 -shared -fPIC tokenizer.cpp -o libw2btok.so
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr size_t kMaxWord = 4096;            // reference MAX_STRING
+constexpr size_t kReduceThreshold = 21000000; // 0.7 * 30M hash slots
+constexpr size_t kBufSize = 1 << 20;
+
+// Streaming ReadWord-compatible tokenizer over buffered file reads.
+// Calls fn(word) for every token; "</s>" for newlines.
+template <typename Fn>
+int stream_tokens(const char* path, Fn&& fn) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<char> buf(kBufSize);
+  std::string word;
+  word.reserve(kMaxWord);
+  bool truncating = false;
+  char last_trunc_char = 0;
+  while (true) {
+    size_t n = fread(buf.data(), 1, kBufSize, f);
+    for (size_t i = 0; i < n; i++) {
+      char c = buf[i];
+      if (c == '\r') continue;  // reference :139
+      if (c == ' ' || c == '\t' || c == '\n') {
+        if (!word.empty() || truncating) {
+          if (truncating) {
+            // reference :152 quirk: index sticks at MAX_STRING-1, so the
+            // stored word is the first 4094 chars + the last char read
+            word.back() = last_trunc_char;
+            truncating = false;
+          }
+          fn(word);
+          word.clear();
+        }
+        if (c == '\n') {
+          static const std::string kSent = "</s>";
+          fn(kSent);
+        }
+      } else {
+        if (word.size() >= kMaxWord - 1) {
+          truncating = true;
+          last_trunc_char = c;
+        } else {
+          word.push_back(c);
+        }
+      }
+    }
+    if (n < kBufSize) break;
+  }
+  fclose(f);
+  // trailing word with no separator before EOF is dropped (reference
+  // ReadWordIndex :177-185)
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Count word frequencies; write "word count\n" lines sorted by descending
+// count (ties: first-occurrence order), with </s> always present.
+// Returns number of distinct words written, or -1 on error.
+int64_t w2b_count_words(const char* corpus_path, const char* out_path) {
+  std::unordered_map<std::string, int64_t> counts;
+  counts.reserve(1 << 20);
+  std::unordered_map<std::string, int64_t> first_seen;
+  int64_t tick = 0;
+  int64_t min_reduce = 1;
+
+  int rc = stream_tokens(corpus_path, [&](const std::string& w) {
+    auto it = counts.find(w);
+    if (it != counts.end()) {
+      it->second++;
+    } else {
+      counts.emplace(w, 1);
+      first_seen.emplace(w, tick);
+      if (counts.size() > kReduceThreshold) {
+        // reference ReduceVocab: drop count <= min_reduce, then raise it
+        for (auto jt = counts.begin(); jt != counts.end();) {
+          if (jt->second <= min_reduce) {
+            first_seen.erase(jt->first);
+            jt = counts.erase(jt);
+          } else {
+            ++jt;
+          }
+        }
+        min_reduce++;
+      }
+    }
+    tick++;
+  });
+  if (rc != 0) return -1;
+
+  if (!counts.count("</s>")) {
+    counts.emplace("</s>", 0);
+    first_seen.emplace("</s>", -1);
+  }
+
+  std::vector<const std::pair<const std::string, int64_t>*> items;
+  items.reserve(counts.size());
+  for (auto& kv : counts) items.push_back(&kv);
+  std::sort(items.begin(), items.end(), [&](auto* a, auto* b) {
+    if (a->second != b->second) return a->second > b->second;
+    return first_seen[a->first] < first_seen[b->first];
+  });
+
+  FILE* out = fopen(out_path, "wb");
+  if (!out) return -1;
+  for (auto* kv : items) {
+    fprintf(out, "%s %lld\n", kv->first.c_str(),
+            static_cast<long long>(kv->second));
+  }
+  fclose(out);
+  return static_cast<int64_t>(items.size());
+}
+
+// Encode the corpus as int32 ids using a vocab file of newline-separated
+// words (id = line number; "</s>" maps newlines). OOV words are dropped.
+// Writes raw little-endian int32 to out_path; returns token count or -1.
+int64_t w2b_encode(const char* corpus_path, const char* vocab_path,
+                   const char* out_path) {
+  std::unordered_map<std::string, int32_t> index;
+  {
+    FILE* vf = fopen(vocab_path, "rb");
+    if (!vf) return -1;
+    char line[kMaxWord + 32];
+    int32_t id = 0;
+    while (fgets(line, sizeof(line), vf)) {
+      char* sp = strpbrk(line, " \t\n");
+      if (sp) *sp = 0;
+      if (line[0]) index.emplace(line, id++);
+    }
+    fclose(vf);
+  }
+
+  FILE* out = fopen(out_path, "wb");
+  if (!out) return -1;
+  std::vector<int32_t> obuf;
+  obuf.reserve(kBufSize / 4);
+  int64_t count = 0;
+  int rc = stream_tokens(corpus_path, [&](const std::string& w) {
+    auto it = index.find(w);
+    if (it == index.end()) return;  // OOV dropped (reference :398)
+    obuf.push_back(it->second);
+    count++;
+    if (obuf.size() >= kBufSize / 4) {
+      fwrite(obuf.data(), 4, obuf.size(), out);
+      obuf.clear();
+    }
+  });
+  if (!obuf.empty()) fwrite(obuf.data(), 4, obuf.size(), out);
+  fclose(out);
+  return rc == 0 ? count : -1;
+}
+
+}  // extern "C"
