@@ -31,7 +31,8 @@ BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
 N_TOKENS = 4_000_000
 VOCAB = 70_000
 CFG = dict(bitlevel=1, size=200, window=8, negative=24, min_count=5,
-           sample=1e-3, alpha=0.05, batch_size=2048, steps_per_chunk=64)
+           sample=1e-3, alpha=0.05, batch_size=2048, steps_per_chunk=64,
+           neg_sharing=256)
 BENCH_SECONDS = 20.0
 
 
@@ -58,7 +59,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from word2bits_tpu.data.pipeline import build_epoch_arrays
-    from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars, make_train_chunk
+    from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
+    from word2bits_tpu.models.cbow_slab import make_slab_train_chunk
     from word2bits_tpu.models.init import init_params
     from word2bits_tpu.sampling.unigram import build_alias_table
 
@@ -70,7 +72,8 @@ def main():
 
     u, v = init_params(V, CFG["size"], init="uniform", seed=0)
     table = build_alias_table(np.maximum(counts, 1) ** 0.75)
-    chunk_fn = make_train_chunk(hyper, V, B, S)
+    chunk_fn = make_slab_train_chunk(hyper, V, B, S,
+                                     neg_sharing=CFG["neg_sharing"])
 
     capacity = ((len(encoded) + S * B + 8 + 1023) // 1024) * 1024
     ep = build_epoch_arrays(encoded, counts, CFG["sample"], train_words, W,

@@ -51,6 +51,11 @@ class Word2BitsConfig:
     threads: int = 12          # accepted for CLI compat; not a parallelism knob
     batch_size: int = 1024     # centers per synchronous step
     steps_per_chunk: int = 256 # steps fused into one jitted scan call
+    # Negative-sample sharing tile: 0 = per-center draws (exact reference
+    # semantics); G > 0 shares each tile of G centers' negatives, turning the
+    # score/gradient contractions into MXU matmuls (standard batched-word2vec
+    # optimization, cf. pWord2Vec arXiv 1604.04661; documented divergence).
+    neg_sharing: int = 0
     seed: int = 1
     init: str = "reference"    # "reference" (exact LCG parity) or "uniform"
     dtype: str = "float32"
@@ -84,6 +89,11 @@ class Word2BitsConfig:
             raise ValueError(f"min_count must be >= 0, got {self.min_count}")
         if self.batch_size <= 0:
             raise ValueError(f"batch_size must be positive, got {self.batch_size}")
+        if self.neg_sharing < 0 or (self.neg_sharing and
+                                    self.batch_size % self.neg_sharing):
+            raise ValueError(
+                f"neg_sharing ({self.neg_sharing}) must be 0 or divide "
+                f"batch_size ({self.batch_size})")
         if self.init not in ("reference", "uniform"):
             raise ValueError(f"init must be 'reference' or 'uniform', got {self.init!r}")
 
@@ -114,6 +124,7 @@ REFERENCE_FLAGS = {
     # Extensions beyond the reference:
     "-batch-size": ("batch_size", int),
     "-seed": ("seed", int),
+    "-neg-sharing": ("neg_sharing", int),
 }
 
 

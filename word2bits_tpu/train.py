@@ -32,7 +32,8 @@ from word2bits_tpu.data.corpus import build_vocab, encode_corpus
 from word2bits_tpu.data.pipeline import build_epoch_arrays
 from word2bits_tpu.data.vocab import Vocab
 from word2bits_tpu.io.vectors import output_vectors, write_vectors
-from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars, make_train_chunk
+from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
+from word2bits_tpu.models.cbow_slab import make_slab_train_chunk
 from word2bits_tpu.models.init import init_params
 from word2bits_tpu.sampling.unigram import build_alias_table
 
@@ -84,7 +85,8 @@ def train(cfg: Word2BitsConfig,
 
     u, v = init_params(V, D, init=cfg.init, seed=cfg.seed)
     table = build_alias_table(vocab.unigram_weights())
-    chunk_fn = make_train_chunk(hyper, V, B, S)
+    chunk_fn = make_slab_train_chunk(hyper, V, B, S,
+                                     neg_sharing=cfg.neg_sharing)
 
     train_words = vocab.train_words
     denom = float(cfg.iter) * train_words + 1.0
