@@ -1,0 +1,124 @@
+"""Skip-gram slab step vs a brute-force per-pair transcription."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
+from word2bits_tpu.models.cbow_slab import SlabInputs, _context_masks
+from word2bits_tpu.models.skipgram import (
+    make_skipgram_train_chunk,
+    skipgram_slab_step,
+)
+from tests.test_quantize import ref_quantize_py
+from tests.test_sigmoid import build_reference_exp_table, ref_lut_sigmoid
+from tests.test_cbow import ref_sigmoid_exact
+
+EXP_TABLE = build_reference_exp_table()
+
+
+def brute_force(u, v, inputs, alpha, bitlevel, reg, B, W, K, neg_sharing):
+    """Per-pair sequential evaluation of the documented skip-gram equations,
+    with all reads stale (batch semantics)."""
+    import math
+    u0, v0 = u.copy(), v.copy()
+    du = np.zeros_like(u)
+    dv = np.zeros_like(v)
+    q = np.vectorize(lambda x: ref_quantize_py(float(x), bitlevel))
+    toks = np.maximum(np.asarray(inputs.slab_tokens), 0)
+    offsets, mask, valid = _context_masks(inputs, B, W)
+    mask = np.asarray(mask)
+    negs = np.asarray(inputs.neg_ids)
+    loss = 0.0
+    two_ar = 2 * alpha * reg
+    for b in range(B):
+        center = toks[W + b]
+        if neg_sharing:
+            my_negs = negs[b // neg_sharing]
+        else:
+            my_negs = negs[b]
+        for oi, o in enumerate(offsets):
+            if not mask[b, oi]:
+                continue
+            p = W + b + o
+            qu = q(u0[toks[p]]).astype(np.float64)
+            neu1e = np.zeros_like(qu)
+            for d in range(K + 1):
+                if d == 0:
+                    t, label = center, 1.0
+                else:
+                    t = my_negs[d - 1]
+                    if t == center:
+                        continue
+                    label = 0.0
+                qv = q(v0[t]).astype(np.float64)
+                f = float(qu @ qv)
+                g = (label - ref_lut_sigmoid(f, EXP_TABLE)) * alpha
+                sf = f if label else -f
+                extra = reg * float(qu @ qu) if d == 0 else 0.0
+                loss += math.log(ref_sigmoid_exact(sf)) - reg * float(qv @ qv) - extra
+                neu1e += g * qv
+                dv[t] += g * qu - two_ar * v0[t]
+            du[toks[p]] += neu1e - two_ar * u0[toks[p]]
+    return u0 + du, v0 + dv, loss
+
+
+def _setup(seed=0, B=16, W=2, K=3, V=30, D=8, shared=0):
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(-0.5, 0.5, (V, D)).astype(np.float32)
+    v = rng.uniform(-0.5, 0.5, (V, D)).astype(np.float32)
+    toks = rng.integers(1, V, B + 2 * W).astype(np.int32)
+    sents = np.sort(rng.integers(0, 3, B + 2 * W)).astype(np.int32)
+    shrink = rng.integers(0, W, B).astype(np.int32)
+    rows = B // shared if shared else B
+    negs = rng.integers(1, V, (rows, K)).astype(np.int32)
+    inputs = SlabInputs(slab_tokens=jnp.asarray(toks),
+                        slab_sents=jnp.asarray(sents),
+                        shrink=jnp.asarray(shrink),
+                        neg_ids=jnp.asarray(negs))
+    return u, v, inputs
+
+
+@pytest.mark.parametrize("bitlevel,reg,shared", [(1, 0.0, 0), (0, 0.01, 0),
+                                                 (1, 0.005, 4)])
+def test_skipgram_matches_bruteforce(bitlevel, reg, shared):
+    B, W, K = 16, 2, 3
+    u, v, inputs = _setup(B=B, W=W, K=K, shared=shared)
+    hyper = CBOWHyper(bitlevel=bitlevel, size=8, window=W, negative=K, reg=reg)
+    u1, v1, loss1 = skipgram_slab_step(
+        jnp.asarray(u), jnp.asarray(v), inputs, jnp.float32(0.05), hyper, B,
+        neg_sharing=shared)
+    u2, v2, loss2 = brute_force(u, v, inputs, 0.05, bitlevel, reg, B, W, K,
+                                shared)
+    np.testing.assert_allclose(np.asarray(u1), u2, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), v2, atol=1e-5)
+    np.testing.assert_allclose(float(loss1), loss2, rtol=1e-4, atol=1e-4)
+
+
+def test_skipgram_chunk_learns():
+    from word2bits_tpu.data.pipeline import build_epoch_arrays
+    from word2bits_tpu.sampling.unigram import build_alias_table
+
+    rng = np.random.default_rng(0)
+    V, D, B, S, W, K = 50, 16, 32, 10, 2, 4
+    pairs = rng.integers(1, V // 2, size=3000)
+    enc = np.stack([2 * pairs, 2 * pairs + 1], 1).reshape(-1).astype(np.int32)
+    counts = np.bincount(enc, minlength=V).astype(np.int64)
+    ep = build_epoch_arrays(enc, counts, 0.0, int(counts.sum()), W,
+                            np.random.default_rng(1))
+    hyper = CBOWHyper(bitlevel=0, size=D, window=W, negative=K)
+    table = build_alias_table(np.maximum(counts, 1) ** 0.75)
+    chunk = make_skipgram_train_chunk(hyper, V, B, S, donate=False)
+    u = jnp.asarray(rng.uniform(-0.05, 0.05, (V, D)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-0.05, 0.05, (V, D)).astype(np.float32))
+    sc = ChunkScalars(base0=jnp.int32(ep.halo), alpha0=jnp.float32(0.05),
+                      wca_start=jnp.float32(0), wca_per_step=jnp.float32(0),
+                      denom=jnp.float32(1e9))
+    losses = []
+    for i in range(8):
+        u, v, loss = chunk(u, v, jnp.asarray(ep.tokens),
+                           jnp.asarray(ep.sent_ids), table.prob, table.alias,
+                           sc, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] > losses[0], losses

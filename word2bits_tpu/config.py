@@ -56,6 +56,9 @@ class Word2BitsConfig:
     # score/gradient contractions into MXU matmuls (standard batched-word2vec
     # optimization, cf. pWord2Vec arXiv 1604.04661; documented divergence).
     neg_sharing: int = 0
+    # Model family. The reference trains only CBOW (SURVEY.md section 0);
+    # skip-gram is an extension with the same quantization contract.
+    model: str = "cbow"
     seed: int = 1
     init: str = "reference"    # "reference" (exact LCG parity) or "uniform"
     dtype: str = "float32"
@@ -96,6 +99,8 @@ class Word2BitsConfig:
                 f"batch_size ({self.batch_size})")
         if self.init not in ("reference", "uniform"):
             raise ValueError(f"init must be 'reference' or 'uniform', got {self.init!r}")
+        if self.model not in ("cbow", "skipgram"):
+            raise ValueError(f"model must be 'cbow' or 'skipgram', got {self.model!r}")
 
     def replace(self, **kwargs) -> "Word2BitsConfig":
         return dataclasses.replace(self, **kwargs)
@@ -125,6 +130,9 @@ REFERENCE_FLAGS = {
     "-batch-size": ("batch_size", int),
     "-seed": ("seed", int),
     "-neg-sharing": ("neg_sharing", int),
+    "-model": ("model", str),
+    # word2vec-style spelling: -cbow 1 == cbow, -cbow 0 == skipgram
+    "-cbow": ("model", lambda s: "cbow" if int(s) else "skipgram"),
 }
 
 

@@ -1,0 +1,169 @@
+"""Skip-gram with negative sampling, virtually quantized — slab formulation.
+
+The reference implements only CBOW (SURVEY.md section 0: the `hs` flag and
+Huffman fields are dead code, there is no skip-gram path).  Skip-gram is
+provided as a documented extension because Word2Bits' own description
+(BASELINE north star) frames the algorithm family as word2vec-with-
+quantization: per (center, context) pair the *context* word's input row
+predicts the center against K negatives, with the same quantize-on-read STE
+contract, LUT sigmoid gradient, per-visit weight decay, and skip/remap
+negative-sampling quirks as the CBOW path.
+
+TPU formulation mirrors cbow_slab: one gather of the B+2W-position slab,
+pair scores as MXU matmuls against (optionally tile-shared) negatives, and
+u-updates grouped by slab position (windowed sums -> one B+2W-row scatter).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
+from word2bits_tpu.models.cbow_slab import SlabInputs, _context_masks
+from word2bits_tpu.ops.quantize import quantize
+from word2bits_tpu.ops.sigmoid import sigmoid_exact, sigmoid_lut
+
+
+def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
+                       batch_size: int, neg_sharing: int = 0):
+    """One synchronous skip-gram step over B consecutive centers.
+
+    Every (center b, offset o) pair trains input row u[token[b+o]] against
+    targets {center_b} + negatives. Returns (u, v, loss).
+    """
+    B, W, K, D = batch_size, hyper.window, hyper.negative, u.shape[1]
+    bl, reg = hyper.bitlevel, hyper.reg
+    dt = u.dtype
+
+    slab_ids = jnp.maximum(inputs.slab_tokens, 0)
+    centers = slab_ids[W:W + B]
+    u_slab = u[slab_ids]                                  # [B+2W, D]
+    q_slab = quantize(u_slab, bl)
+
+    offsets, mask, valid = _context_masks(inputs, B, W)
+    mf = (mask & valid[:, None]).astype(dt)               # [B, 2W]
+    # pair input rows via shifted slices: q_in[b, oi] = q_slab[W+b+o]
+    q_in = jnp.stack([q_slab[W + o:W + o + B] for o in offsets], axis=1)  # [B,2W,D]
+    u_in = jnp.stack([u_slab[W + o:W + o + B] for o in offsets], axis=1)
+
+    two_ar = 2.0 * alpha * reg
+
+    # --- positive (center) target per pair ---
+    v_c = v[centers]
+    q_vc = quantize(v_c, bl)
+    f_pos = jnp.einsum("bod,bd->bo", q_in, q_vc)          # [B, 2W]
+    g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * mf
+    vc_sq = jnp.sum(q_vc * q_vc, axis=-1)                 # [B]
+    in_sq = jnp.sum(q_in * q_in, axis=-1)                 # [B, 2W]
+    # per-pair loss: log sigma(f) - reg(||q_v||^2 + ||q_u||^2)
+    loss = jnp.sum((jnp.log(sigmoid_exact(f_pos))
+                    - reg * (vc_sq[:, None] + in_sq)) * mf)
+
+    # dv[center] += sum_o g_pos * q_in - 2*alpha*reg*v_c per visit
+    pair_cnt = jnp.sum(mf, axis=1)                        # [B]
+    dv_center = jnp.einsum("bo,bod->bd", g_pos, q_in) \
+        - two_ar * v_c * pair_cnt[:, None]
+    # per-pair input-row gradient accumulator
+    din = g_pos[..., None] * q_vc[:, None, :]             # [B, 2W, D]
+
+    if neg_sharing and neg_sharing > 0:
+        G = neg_sharing
+        if B % G:
+            raise ValueError(f"batch {B} not divisible by neg tile {G}")
+        T = B // G
+        negs = inputs.neg_ids                             # [T, K]
+        v_n = v[negs]
+        q_vn = quantize(v_n, bl)                          # [T, K, D]
+        q_in4 = q_in.reshape(T, G * 2 * W, D)
+        mf4 = mf.reshape(T, G, 2 * W)
+        centers3 = centers.reshape(T, G)
+        # MXU: (G*2W, D) x (D, K) per tile
+        f_neg = lax.dot_general(q_in4, q_vn, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        f_neg = f_neg.reshape(T, G, 2 * W, K)
+        skip = (negs[:, None, :] != centers3[:, :, None])  # [T, G, K]
+        m4 = mf4[..., None] * skip[:, :, None, :].astype(dt)  # [T,G,2W,K]
+        g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m4
+        vn_sq = jnp.sum(q_vn * q_vn, axis=-1)             # [T, K]
+        loss = loss + jnp.sum(
+            (jnp.log(sigmoid_exact(-f_neg))
+             - reg * vn_sq[:, None, None, :]) * m4)
+        # dv[neg] += sum_pairs g * q_in - decay per visit
+        g2 = g_neg.reshape(T, G * 2 * W, K)
+        dv_neg = lax.dot_general(g2, q_in4, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)  # [T,K,D]
+        visits = jnp.sum(m4, axis=(1, 2))                 # [T, K]
+        dv_neg = dv_neg - two_ar * v_n * visits[..., None]
+        # din += sum_k g * q_vn : (G*2W, K) x (K, D) per tile
+        din = din + lax.dot_general(
+            g2, q_vn, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).reshape(B, 2 * W, D)
+        v = v.at[centers].add(dv_center)
+        v = v.at[negs.reshape(-1)].add(dv_neg.reshape(-1, D))
+    else:
+        negs = inputs.neg_ids                             # [B, K]
+        v_n = v[negs]
+        q_vn = quantize(v_n, bl)                          # [B, K, D]
+        f_neg = jnp.einsum("bod,bkd->bok", q_in, q_vn)
+        skip = (negs != centers[:, None])                 # [B, K]
+        m3 = mf[..., None] * skip[:, None, :].astype(dt)  # [B, 2W, K]
+        g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
+        vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
+        loss = loss + jnp.sum(
+            (jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq[:, None, :]) * m3)
+        dv_neg = jnp.einsum("bok,bod->bkd", g_neg, q_in)
+        visits = jnp.sum(m3, axis=1)                      # [B, K]
+        dv_neg = dv_neg - two_ar * v_n * visits[..., None]
+        din = din + jnp.einsum("bok,bkd->bod", g_neg, q_vn)
+        v = v.at[centers].add(dv_center)
+        v = v.at[negs.reshape(-1)].add(dv_neg.reshape(-1, D))
+
+    # --- u updates grouped by slab position ---
+    din = din * mf[..., None] - two_ar * u_in * mf[..., None]
+    shifted = jnp.stack(
+        [jnp.pad(din[:, oi], ((W + o, W - o), (0, 0)))
+         for oi, o in enumerate(offsets)])
+    du_slab = jnp.sum(shifted, axis=0)
+    u = u.at[slab_ids].add(du_slab)
+    return u, v, loss
+
+
+def make_skipgram_train_chunk(hyper: CBOWHyper, vocab_size: int,
+                              batch_size: int, steps: int,
+                              neg_sharing: int = 0, donate: bool = True):
+    """Same signature as make_slab_train_chunk, skip-gram objective."""
+    from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
+
+    B, W, K = batch_size, hyper.window, hyper.negative
+    neg_rows = (batch_size // neg_sharing) if neg_sharing else batch_size
+
+    def chunk(u, v, tokens, sent_ids, alias_prob, alias_alias, scalars, key):
+        table = AliasTable(prob=alias_prob, alias=alias_alias)
+        keys = jax.random.split(key, steps)
+
+        def body(carry, xs):
+            u, v, loss = carry
+            s, k = xs
+            k_neg, k_win = jax.random.split(k)
+            base = scalars.base0 + s * B
+            wca = scalars.wca_start + s.astype(jnp.float32) * scalars.wca_per_step
+            alpha = scalars.alpha0 * (1.0 - wca / scalars.denom)
+            alpha = jnp.maximum(alpha, scalars.alpha0 * 1e-4)
+            slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
+            slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
+            shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
+            negs = draw_negatives(k_neg, table, (neg_rows, K), vocab_size)
+            inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
+                                shrink=shrink, neg_ids=negs)
+            u, v, step_loss = skipgram_slab_step(u, v, inputs, alpha, hyper,
+                                                 B, neg_sharing)
+            return (u, v, loss + step_loss), None
+
+        xs = (jnp.arange(steps, dtype=jnp.int32), keys)
+        (u, v, loss), _ = lax.scan(body, (u, v, jnp.asarray(0.0, u.dtype)), xs)
+        return u, v, loss
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(chunk, donate_argnums=donate_argnums)

@@ -85,8 +85,13 @@ def train(cfg: Word2BitsConfig,
 
     u, v = init_params(V, D, init=cfg.init, seed=cfg.seed)
     table = build_alias_table(vocab.unigram_weights())
-    chunk_fn = make_slab_train_chunk(hyper, V, B, S,
-                                     neg_sharing=cfg.neg_sharing)
+    if cfg.model == "skipgram":
+        from word2bits_tpu.models.skipgram import make_skipgram_train_chunk
+        chunk_fn = make_skipgram_train_chunk(hyper, V, B, S,
+                                             neg_sharing=cfg.neg_sharing)
+    else:
+        chunk_fn = make_slab_train_chunk(hyper, V, B, S,
+                                         neg_sharing=cfg.neg_sharing)
 
     train_words = vocab.train_words
     denom = float(cfg.iter) * train_words + 1.0
@@ -137,7 +142,7 @@ def train(cfg: Word2BitsConfig,
                 dt = time.perf_counter() - t0
                 wps = words_done / max(time.perf_counter() - t_train0, 1e-9)
                 print(f"\rAlpha: {alpha_now:.6f}  "
-                      f"Progress: {words_done / denom * 100:.2f}%  "
+                      f"Progress: {min(words_done / denom * 100, 100.0):.2f}%  "
                       f"Cost: {epoch_loss:.2f} "
                       f"Words/sec: {wps / 1000:.2f}k  ",
                       end="", flush=True)
