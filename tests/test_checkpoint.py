@@ -1,0 +1,51 @@
+"""Checkpoint/resume: interrupted training continues identically-shaped."""
+
+import os
+
+import numpy as np
+
+from word2bits_tpu.config import Word2BitsConfig
+from word2bits_tpu.train import train
+from tests.test_integration import _make_corpus
+
+
+def test_resume_continues(tmp_path):
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=80)
+    ckpt = str(tmp_path / "ckpt")
+    base = dict(train_file=corpus, output_file=str(tmp_path / "v.bin"),
+                bitlevel=1, size=8, window=2, negative=3, min_count=1,
+                batch_size=32, steps_per_chunk=4, binary=True, debug=0,
+                checkpoint_dir=ckpt, seed=3)
+
+    # full 4-epoch run
+    full = train(Word2BitsConfig(iter=4, **base))
+
+    # 2 epochs, then resume for the remaining 2
+    for f in os.listdir(ckpt):
+        os.unlink(os.path.join(ckpt, f))
+    train(Word2BitsConfig(iter=2, **base))
+    resumed = train(Word2BitsConfig(iter=4, resume=True, **base))
+
+    assert resumed.epoch_losses  # only the resumed epochs
+    assert len(resumed.epoch_losses) == 2
+    # same shapes and finite params; exact trajectory equality is not
+    # guaranteed (the jax key stream differs at the epoch boundary), but the
+    # resumed run must train sanely
+    assert resumed.u.shape == full.u.shape
+    assert np.isfinite(resumed.u).all() and np.isfinite(resumed.v).all()
+
+
+def test_checkpoint_files_written(tmp_path):
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=40)
+    ckpt = str(tmp_path / "ck")
+    cfg = Word2BitsConfig(train_file=corpus, output_file=str(tmp_path / "o"),
+                          iter=2, size=8, window=2, negative=2, min_count=1,
+                          batch_size=16, steps_per_chunk=2, debug=0,
+                          checkpoint_dir=ckpt)
+    train(cfg)
+    assert os.path.exists(os.path.join(ckpt, "state.npz"))
+    z = np.load(os.path.join(ckpt, "state.npz"))
+    assert int(z["epoch"]) == 1
+    assert z["u"].shape == z["v"].shape

@@ -59,6 +59,10 @@ class Word2BitsConfig:
     # Model family. The reference trains only CBOW (SURVEY.md section 0);
     # skip-gram is an extension with the same quantization contract.
     model: str = "cbow"
+    # Full train-state checkpointing (extension: the reference can only
+    # export vectors per epoch, not resume — SURVEY.md section 5).
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
     seed: int = 1
     init: str = "reference"    # "reference" (exact LCG parity) or "uniform"
     dtype: str = "float32"
@@ -131,6 +135,8 @@ REFERENCE_FLAGS = {
     "-seed": ("seed", int),
     "-neg-sharing": ("neg_sharing", int),
     "-model": ("model", str),
+    "-checkpoint-dir": ("checkpoint_dir", str),
+    "-resume": ("resume", lambda s: bool(int(s))),
     # word2vec-style spelling: -cbow 1 == cbow, -cbow 0 == skipgram
     "-cbow": ("model", lambda s: "cbow" if int(s) else "skipgram"),
 }

@@ -1,0 +1,188 @@
+"""Vocab-sharded + data-parallel SLAB training step — the scaling form of the
+optimized single-chip core (word2bits_tpu/models/cbow_slab.py).
+
+Mesh ("data", "vocab"):
+  * u, v sharded P("vocab", None); slab/batch inputs replicated (they are
+    kilobytes), each data shard slicing its own B/N_d centers with a 2W halo.
+  * remote rows ride ICI as masked-local-gather + psum over "vocab"
+    (the all-gather of minibatch rows).
+  * per-shard (V_shard, D) update deltas are psum'd over "data" and applied
+    by the owning vocab shard only.
+
+Numerically equal to the single-device slab step (tested on an 8-virtual-
+device CPU mesh); scaling efficiency relies on XLA overlapping the vocab-axis
+psums with the MXU contractions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from word2bits_tpu.models.cbow import CBOWHyper
+from word2bits_tpu.models.cbow_slab import SlabInputs, _context_masks
+from word2bits_tpu.ops.quantize import quantize
+from word2bits_tpu.ops.sigmoid import sigmoid_exact, sigmoid_lut
+from word2bits_tpu.parallel.mesh import DATA_AXIS, VOCAB_AXIS
+from word2bits_tpu.parallel.sharded import _gather_rows, _scatter_delta
+
+
+def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
+                       negs, alpha, hyper: CBOWHyper, B_global: int,
+                       neg_sharing: int, vocab_shard_size: int):
+    """Runs inside shard_map. Global inputs replicated; params vocab-sharded."""
+    W, K, D = hyper.window, hyper.negative, u_local.shape[1]
+    bl, reg = hyper.bitlevel, hyper.reg
+    dt = u_local.dtype
+    Vs = u_local.shape[0]
+
+    nd = lax.axis_size(DATA_AXIS)
+    di = lax.axis_index(DATA_AXIS)
+    B = B_global // nd
+
+    # my slice of the global slab (with halo)
+    start = di * B
+    my_tokens = lax.dynamic_slice(slab_tokens, (start,), (B + 2 * W,))
+    my_sents = lax.dynamic_slice(slab_sents, (start,), (B + 2 * W,))
+    my_shrink = lax.dynamic_slice(shrink, (start,), (B,))
+    if neg_sharing:
+        G = neg_sharing
+        T_global = B_global // G
+        T = B // G
+        my_negs = lax.dynamic_slice(negs, (di * T, 0), (T, K))
+    else:
+        my_negs = lax.dynamic_slice(negs, (start, 0), (B, K))
+
+    inputs = SlabInputs(slab_tokens=my_tokens, slab_sents=my_sents,
+                        shrink=my_shrink, neg_ids=my_negs)
+    slab_ids = jnp.maximum(my_tokens, 0)
+    centers = slab_ids[W:W + B]
+
+    u_slab = _gather_rows(u_local, slab_ids, vocab_shard_size)
+    q_slab = quantize(u_slab, bl)
+
+    offsets, mask, valid = _context_masks(inputs, B, W)
+    mf = mask.astype(dt)
+    csum = jnp.zeros((B, D), dt)
+    sq_sum = jnp.zeros((B,), dt)
+    q_sq = jnp.sum(q_slab * q_slab, axis=-1)
+    for oi, o in enumerate(offsets):
+        csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
+        sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
+    cw = jnp.sum(mf, axis=1)
+    active = valid & (cw > 0)
+    af = active.astype(dt)
+    cavg = csum / jnp.maximum(cw, 1.0)[:, None]
+    loss = -reg * jnp.sum(sq_sum * af)
+    two_ar = 2.0 * alpha * reg
+
+    v_c = _gather_rows(v_local, centers, vocab_shard_size)
+    q_vc = quantize(v_c, bl)
+    f_pos = jnp.sum(cavg * q_vc, axis=-1)
+    g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * af
+    loss = loss + jnp.sum((jnp.log(sigmoid_exact(f_pos))
+                           - reg * jnp.sum(q_vc * q_vc, axis=-1)) * af)
+    cavge = g_pos[:, None] * q_vc
+    dv_center = g_pos[:, None] * cavg - two_ar * v_c * af[:, None]
+
+    v_n = _gather_rows(v_local, my_negs, vocab_shard_size)
+    q_vn = quantize(v_n, bl)
+    if neg_sharing:
+        G = neg_sharing
+        T = B // G
+        cavg3 = cavg.reshape(T, G, D)
+        af3 = af.reshape(T, G)
+        f_neg = lax.dot_general(cavg3, q_vn, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        centers3 = centers.reshape(T, G)
+        skip = my_negs[:, None, :] != centers3[:, :, None]
+        m3 = skip.astype(dt) * af3[:, :, None]
+        g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
+        vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
+        loss = loss + jnp.sum(
+            (jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq[:, None, :]) * m3)
+        cavge = cavge + lax.dot_general(
+            g_neg, q_vn, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).reshape(B, D)
+        dv_neg = lax.dot_general(g_neg, cavg3, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        visits = jnp.sum(m3, axis=1)
+        dv_neg = dv_neg - two_ar * v_n * visits[:, :, None]
+        neg_rows_flat = my_negs.reshape(-1)
+        dv_neg_flat = dv_neg.reshape(-1, D)
+        neg_mask = jnp.ones(neg_rows_flat.shape, bool)
+    else:
+        f_neg = jnp.einsum("bd,bkd->bk", cavg, q_vn)
+        skip = my_negs != centers[:, None]
+        m2 = skip.astype(dt) * af[:, None]
+        g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m2
+        vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
+        loss = loss + jnp.sum((jnp.log(sigmoid_exact(-f_neg))
+                               - reg * vn_sq) * m2)
+        cavge = cavge + jnp.einsum("bk,bkd->bd", g_neg, q_vn)
+        dv_neg = g_neg[..., None] * cavg[:, None, :] \
+            - two_ar * v_n * m2[..., None]
+        neg_rows_flat = my_negs.reshape(-1)
+        dv_neg_flat = dv_neg.reshape(-1, D)
+        neg_mask = jnp.ones(neg_rows_flat.shape, bool)
+
+    # u updates grouped by position
+    mc = mf * af[:, None]
+    shifted = jnp.stack(
+        [jnp.pad(mc[:, oi, None] * cavge, ((W + o, W - o), (0, 0)))
+         for oi, o in enumerate(offsets)])
+    du_slab = jnp.sum(shifted, axis=0)
+    cnt = jnp.sum(jnp.stack(
+        [jnp.pad(mc[:, oi], (W + o, W - o)) for oi, o in enumerate(offsets)]),
+        axis=0)
+    du_slab = du_slab - two_ar * u_slab * cnt[:, None]
+
+    # scatter into local shard deltas; sum over the data axis
+    ones_b = jnp.ones(centers.shape, bool)
+    ones_slab = jnp.ones(slab_ids.shape, bool)
+    delta_v = _scatter_delta(centers, dv_center, ones_b, vocab_shard_size,
+                             (Vs, D))
+    delta_v = delta_v + _scatter_delta(neg_rows_flat, dv_neg_flat, neg_mask,
+                                       vocab_shard_size, (Vs, D))
+    delta_u = _scatter_delta(slab_ids, du_slab, ones_slab, vocab_shard_size,
+                             (Vs, D))
+    delta_v = lax.psum(delta_v, DATA_AXIS)
+    delta_u = lax.psum(delta_u, DATA_AXIS)
+    loss = lax.psum(loss, DATA_AXIS)
+    return u_local + delta_u, v_local + delta_v, loss
+
+
+def make_sharded_slab_step(hyper: CBOWHyper, mesh: Mesh,
+                           vocab_size_padded: int, batch_size: int,
+                           neg_sharing: int = 0):
+    """jit(shard_map) step: (u_loc, v_loc, slab_tokens, slab_sents, shrink,
+    negs, alpha) -> (u_loc, v_loc, loss).  Inputs replicated, params
+    vocab-sharded."""
+    nd = mesh.shape[DATA_AXIS]
+    nv = mesh.shape[VOCAB_AXIS]
+    if batch_size % nd:
+        raise ValueError(f"batch {batch_size} not divisible by data axis {nd}")
+    if neg_sharing and (batch_size // nd) % neg_sharing:
+        raise ValueError("per-shard batch must be divisible by neg_sharing")
+    if vocab_size_padded % nv:
+        raise ValueError(f"vocab {vocab_size_padded} not divisible by {nv}")
+    vss = vocab_size_padded // nv
+
+    def step(u_local, v_local, slab_tokens, slab_sents, shrink, negs, alpha):
+        u_local, v_local, loss = _sharded_slab_body(
+            u_local, v_local, slab_tokens, slab_sents, shrink, negs, alpha,
+            hyper, batch_size, neg_sharing, vss)
+        loss = lax.psum(loss, VOCAB_AXIS) / nv
+        return u_local, v_local, loss
+
+    pp = P(VOCAB_AXIS, None)
+    rep = P()
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(pp, pp, rep, rep, rep, rep, rep),
+        out_specs=(pp, pp, rep),
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))

@@ -98,19 +98,33 @@ def train(cfg: Word2BitsConfig,
     # epoch arrays are padded to a fixed capacity so chunk shapes never change
     capacity = ((len(encoded) + S * B + 8 + 1023) // 1024) * 1024
 
-    root_rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
 
     epoch_losses: List[float] = []
     total_steps = 0
     words_done = 0.0
+    start_epoch = 0
+
+    ckpt_path = (os.path.join(cfg.checkpoint_dir, "state.npz")
+                 if cfg.checkpoint_dir else None)
+    if ckpt_path and cfg.resume and os.path.exists(ckpt_path):
+        cu, cv, cepoch, ckey, cwords = load_checkpoint(ckpt_path)
+        u, v = jnp.asarray(cu), jnp.asarray(cv)
+        key = ckey
+        start_epoch = cepoch + 1
+        words_done = cwords
+        _log(cfg, f"Resumed from {ckpt_path} at epoch {start_epoch}")
+
     t_train0 = time.perf_counter()
     stop = False
 
-    for epoch in range(cfg.iter):
+    for epoch in range(start_epoch, cfg.iter):
         _log(cfg, f"Starting epoch: {epoch}")
+        # per-epoch derived stream: fresh subsampling randomness each epoch,
+        # reproducible after resume
+        epoch_rng = np.random.default_rng([cfg.seed, epoch])
         ep = build_epoch_arrays(encoded, vocab.counts, cfg.sample,
-                                train_words, W, root_rng, capacity=capacity)
+                                train_words, W, epoch_rng, capacity=capacity)
         tokens_dev = jnp.asarray(ep.tokens)
         sents_dev = jnp.asarray(ep.sent_ids)
         n_centers = max(ep.n_tokens, 1)
@@ -160,6 +174,9 @@ def train(cfg: Word2BitsConfig,
 
         if cfg.save_every_epoch and cfg.output_file and cfg.classes == 0:
             _write_output(f"{cfg.output_file}_epoch{epoch}", vocab, u, v, cfg)
+        if ckpt_path:
+            os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+            save_checkpoint(ckpt_path, u, v, epoch, key, words_done)
         if on_epoch_end is not None:
             on_epoch_end(epoch, np.asarray(u), np.asarray(v), epoch_loss)
         if stop:
