@@ -76,8 +76,8 @@ def test_shared_negatives_matches_expanded():
     u1, v1, loss1 = slab_step(jnp.asarray(u), jnp.asarray(v), shared_inputs,
                               alpha, hyper, B, neg_sharing=G)
 
-    # expand: every center in tile t gets tile t's negatives
-    negs_full = np.repeat(negs_shared, G, axis=0)
+    # expand: strided tiling — center b belongs to tile b % T
+    negs_full = np.tile(negs_shared, (G, 1))
     full_inputs = inputs._replace(neg_ids=jnp.asarray(negs_full))
     u2, v2, loss2 = slab_step(jnp.asarray(u), jnp.asarray(v), full_inputs,
                               alpha, hyper, B, neg_sharing=0)

@@ -35,7 +35,7 @@ def brute_force(u, v, inputs, alpha, bitlevel, reg, B, W, K, neg_sharing):
     for b in range(B):
         center = toks[W + b]
         if neg_sharing:
-            my_negs = negs[b // neg_sharing]
+            my_negs = negs[b % (B // neg_sharing)]  # strided tile assignment
         else:
             my_negs = negs[b]
         for oi, o in enumerate(offsets):

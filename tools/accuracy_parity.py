@@ -86,6 +86,9 @@ def evaluate(vec_path, questions, bitlevel=0):
 
 
 def main():
+    if "--cpu" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     fast = "--fast" in sys.argv
     corpus, questions = ensure_corpus(fast)
     exe = build_reference()

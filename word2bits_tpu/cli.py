@@ -13,6 +13,7 @@ questions on stdin (or -questions FILE).
 
 from __future__ import annotations
 
+import os
 import sys
 
 from word2bits_tpu.config import config_from_argv
@@ -64,10 +65,16 @@ def accuracy_main(argv=None) -> int:
 
     words, vectors = read_vectors(path, max_words=threshold)
     print("Starting eval...", flush=True)
+    if questions_path is None and sys.stdin.isatty():
+        # interactive invocation with no -questions: default to the Google
+        # analogies set shipped with the reference checkout (public data)
+        default_q = ("/root/reference/data/google_analogies_test_set/"
+                     "questions-words.txt")
+        if os.path.exists(default_q):
+            questions_path = default_q
     if questions_path:
         questions = load_questions(questions_path)
     else:
-        import io as _io
         import tempfile
         with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as tf:
             tf.write(sys.stdin.read())

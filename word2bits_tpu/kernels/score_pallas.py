@@ -1,0 +1,125 @@
+"""Fused negative-phase kernel: quantize -> sigmoid-dot -> gradient matmuls.
+
+One Pallas kernel per tile of G centers fuses the whole shared-negative
+phase of the slab step (models/cbow_slab.py):
+
+    q_vn   = quantize(v_rows)                 (VPU, in-register)
+    f      = cavg @ q_vn^T                    (MXU, G x D x K)
+    g      = (0 - sigma_LUT(f)) * alpha * skip-mask
+    cavge += g @ q_vn                         (MXU, G x K x D)
+    dv     = g^T @ cavg - 2*alpha*reg*v_rows*visits   (MXU, K x G x D)
+    loss  += sum(log sigma_exact(-f) - reg*||q_vn||^2) masked
+
+compared to the XLA path this avoids materializing q_vn and f to HBM and
+keeps all three contractions on-chip per tile.  Exact same math as the XLA
+implementation (tested equal, interpret mode on CPU and compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from word2bits_tpu.kernels.quantize_pallas import quantize_values
+from word2bits_tpu.ops.sigmoid import MAX_EXP, EXP_TABLE_SIZE
+
+
+def _sigmoid_lut_values(f):
+    idx = jnp.floor((f + MAX_EXP) * 83.0)
+    x_bin = (idx / EXP_TABLE_SIZE * 2.0 - 1.0) * MAX_EXP
+    sig = jax.nn.sigmoid(x_bin.astype(f.dtype))
+    return jnp.where(f > MAX_EXP, jnp.asarray(1.0, f.dtype),
+                     jnp.where(f < -MAX_EXP, jnp.asarray(0.0, f.dtype), sig))
+
+
+def _sigmoid_exact_values(f):
+    sig = jax.nn.sigmoid(f)
+    return jnp.where(f > MAX_EXP, jnp.asarray(1.0, f.dtype),
+                     jnp.where(f < -MAX_EXP, jnp.asarray(1e-9, f.dtype), sig))
+
+
+def _kernel(bitlevel, reg,
+            cavg_ref, vrows_ref, centers_ref, negs_ref, af_ref, scalars_ref,
+            cavge_ref, dv_ref, loss_ref):
+    alpha = scalars_ref[0, 0]
+    dt = cavg_ref.dtype
+    cavg = cavg_ref[0]                     # [G, D]
+    v_rows = vrows_ref[0]                  # [K, D]
+    q_vn = quantize_values(v_rows, bitlevel)
+    af = af_ref[0]                         # [G, 1] float
+    centers = centers_ref[0]               # [G, 1] int32
+    negs = negs_ref[0]                     # [1, K] int32
+
+    # f = cavg @ q_vn^T : [G, K]
+    f = jax.lax.dot_general(cavg, q_vn, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    skip = (negs != centers).astype(dt)    # [G, K] broadcast compare
+    m = skip * af                          # [G, K]
+    g = (0.0 - _sigmoid_lut_values(f)) * alpha * m
+
+    vn_sq = jnp.sum(q_vn * q_vn, axis=-1)[None, :]          # [1, K]
+    loss_ref[0, 0] = jnp.sum((jnp.log(_sigmoid_exact_values(-f))
+                              - reg * vn_sq) * m)
+
+    # cavge contribution: g @ q_vn : [G, D]
+    cavge_ref[0] = jax.lax.dot_general(g, q_vn, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+    # dv: g^T @ cavg - 2*alpha*reg * v_rows * visits
+    dv = jax.lax.dot_general(g, cavg, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [K, D]
+    visits = jnp.sum(m, axis=0)[:, None]                    # [K, 1]
+    dv_ref[0] = dv - (2.0 * alpha * reg) * v_rows * visits
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+def quantized_scores_pallas(cavg3, v_rows, centers3, negs, af3, scalars,
+                            bitlevel: int, reg: float,
+                            interpret: bool = False):
+    """Run the fused negative phase over all T tiles.
+
+    cavg3   [T, G, D] context averages
+    v_rows  [T, K, D] gathered (unquantized) negative rows
+    centers3[T, G]    center ids
+    negs    [T, K]    negative ids
+    af3     [T, G]    active-center mask (float)
+    scalars [1, 1]    (alpha,) — SMEM scalar
+    Returns (cavge [T,G,D], dv_neg [T,K,D], loss [])."""
+    T, G, D = cavg3.shape
+    K = v_rows.shape[1]
+    cavge, dv, losses = pl.pallas_call(
+        functools.partial(_kernel, bitlevel, reg),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, G, D), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, D), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, G, D), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, D), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, G, D), cavg3.dtype),
+            jax.ShapeDtypeStruct((T, K, D), cavg3.dtype),
+            jax.ShapeDtypeStruct((T, 1), cavg3.dtype),
+        ),
+        interpret=interpret,
+    )(cavg3, v_rows, centers3[..., None], negs[:, None, :],
+      af3[..., None].astype(cavg3.dtype), scalars)
+    return cavge, dv, jnp.sum(losses)

@@ -18,7 +18,11 @@ Mathematically identical regrouping of the reference update
     (G,D)x(D,K) MXU matmuls and the v-scatter shrinks from B*K rows to
     (B/G)*K.  This is a documented divergence from the reference's
     per-center draws (standard batched-word2vec practice); neg_sharing=0
-    reproduces per-center negatives exactly.
+    reproduces per-center negatives exactly.  Tiles are assigned by STRIDE
+    (center b joins tile b % T), not contiguously: consecutive centers come
+    from the same sentences, and sharing negatives within a contiguous run
+    measurably hurts convergence (see ACCEPTANCE.md), while strided tiles
+    spread each negative set across the whole batch.
 
 All reference quirks preserved: window shrink b~U[0,W) per center
 (:428-429), sentence-boundary masking (:431-434), skip of negatives equal to
@@ -50,6 +54,18 @@ class SlabInputs(NamedTuple):
     neg_ids: jax.Array       # int32 [B, K] or [B//G, K] when shared
 
 
+def to_tiles(x, T: int, G: int):
+    """[B, ...] -> [T, G, ...], STRIDED: tile t holds centers t, t+T, t+2T…
+    so each shared-negative set spans the whole batch instead of one
+    contiguous (correlated) run of corpus positions."""
+    return x.reshape((G, T) + x.shape[1:]).swapaxes(0, 1)
+
+
+def from_tiles(x, B: int):
+    """Inverse of to_tiles."""
+    return x.swapaxes(0, 1).reshape((B,) + x.shape[2:])
+
+
 def _context_masks(inputs: SlabInputs, B: int, W: int):
     """mask[b, oi] for offsets o in (-W..-1, 1..W)."""
     sents = inputs.slab_sents
@@ -65,8 +81,14 @@ def _context_masks(inputs: SlabInputs, B: int, W: int):
 
 
 def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
-              batch_size: int, neg_sharing: int = 0):
-    """One synchronous step over B consecutive centers. Returns (u, v, loss)."""
+              batch_size: int, neg_sharing: int = 0,
+              use_pallas: bool = False):
+    """One synchronous step over B consecutive centers. Returns (u, v, loss).
+
+    use_pallas=True routes the shared-negative phase through the fused
+    Pallas kernel (kernels/score_pallas.py: quantize -> sigma-dot -> gradient
+    matmuls in one VMEM-resident pass per tile); requires neg_sharing > 0.
+    """
     B, W, K, D = batch_size, hyper.window, hyper.negative, u.shape[1]
     bl, reg = hyper.bitlevel, hyper.reg
     dt = u.dtype
@@ -106,7 +128,26 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     cavge = g_pos[:, None] * q_vc                          # [B, D]
     dv_center = g_pos[:, None] * cavg - two_ar * v_c * af[:, None]
 
-    if neg_sharing and neg_sharing > 0:
+    if neg_sharing and neg_sharing > 0 and use_pallas:
+        from word2bits_tpu.kernels.score_pallas import quantized_scores_pallas
+        G = neg_sharing
+        if B % G:
+            raise ValueError(f"batch {B} not divisible by neg tile {G}")
+        T = B // G
+        negs = inputs.neg_ids                              # [T, K]
+        v_n = v[negs]                                      # [T, K, D]
+        cavg3 = to_tiles(cavg, T, G)
+        af3 = to_tiles(af, T, G)
+        centers3 = to_tiles(centers, T, G)
+        scalars = jnp.reshape(jnp.asarray(alpha, dt), (1, 1))
+        interp = jax.default_backend() not in ("tpu", "axon")
+        cavge_neg, dv_neg, nloss = quantized_scores_pallas(
+            cavg3, v_n, centers3, negs, af3, scalars, bl, float(reg), interp)
+        loss = loss + nloss
+        cavge = cavge + from_tiles(cavge_neg, B)
+        v = v.at[centers].add(dv_center)
+        v = v.at[negs.reshape(-1)].add(dv_neg.reshape(-1, D))
+    elif neg_sharing and neg_sharing > 0:
         G = neg_sharing
         if B % G:
             raise ValueError(f"batch {B} not divisible by neg tile {G}")
@@ -114,13 +155,13 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         negs = inputs.neg_ids                              # [T, K]
         v_n = v[negs]                                      # [T, K, D]
         q_vn = quantize(v_n, bl)
-        cavg3 = cavg.reshape(T, G, D)
-        af3 = af.reshape(T, G)
+        cavg3 = to_tiles(cavg, T, G)
+        af3 = to_tiles(af, T, G)
         # MXU: (G,D) x (D,K) per tile
         f_neg = lax.dot_general(cavg3, q_vn,
                                 (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)  # [T,G,K]
-        centers3 = centers.reshape(T, G)
+        centers3 = to_tiles(centers, T, G)
         skip = negs[:, None, :] != centers3[:, :, None]    # [T, G, K]
         m3 = skip.astype(dt) * af3[:, :, None]
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
@@ -128,9 +169,9 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         loss = loss + jnp.sum(
             (jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq[:, None, :]) * m3)
         # cavge += sum_k g_neg * q_vn : (G,K) x (K,D) MXU
-        cavge = cavge + lax.dot_general(
+        cavge = cavge + from_tiles(lax.dot_general(
             g_neg, q_vn, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).reshape(B, D)
+            preferred_element_type=jnp.float32), B)
         # dv for shared negatives: (K,G) x (G,D) MXU, decay per visit
         dv_neg = lax.dot_general(
             g_neg, cavg3, (((1,), (1,)), ((0,), (0,))),
@@ -173,7 +214,7 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
 
 def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                           steps: int, neg_sharing: int = 0,
-                          donate: bool = True):
+                          donate: bool = True, use_pallas: bool = False):
     """Drop-in replacement for make_train_chunk using the slab formulation.
     Same signature: chunk(u, v, tokens, sent_ids, alias_prob, alias_alias,
     scalars, key) -> (u, v, loss_sum)."""
@@ -202,7 +243,7 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
             inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
                                 shrink=shrink, neg_ids=negs)
             u, v, step_loss = slab_step(u, v, inputs, alpha, hyper, B,
-                                        neg_sharing)
+                                        neg_sharing, use_pallas=use_pallas)
             return (u, v, loss + step_loss), None
 
         xs = (jnp.arange(steps, dtype=jnp.int32), keys)

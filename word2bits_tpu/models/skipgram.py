@@ -76,9 +76,10 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         negs = inputs.neg_ids                             # [T, K]
         v_n = v[negs]
         q_vn = quantize(v_n, bl)                          # [T, K, D]
-        q_in4 = q_in.reshape(T, G * 2 * W, D)
-        mf4 = mf.reshape(T, G, 2 * W)
-        centers3 = centers.reshape(T, G)
+        from word2bits_tpu.models.cbow_slab import from_tiles, to_tiles
+        q_in4 = to_tiles(q_in, T, G).reshape(T, G * 2 * W, D)
+        mf4 = to_tiles(mf, T, G)
+        centers3 = to_tiles(centers, T, G)
         # MXU: (G*2W, D) x (D, K) per tile
         f_neg = lax.dot_general(q_in4, q_vn, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
@@ -97,9 +98,10 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         visits = jnp.sum(m4, axis=(1, 2))                 # [T, K]
         dv_neg = dv_neg - two_ar * v_n * visits[..., None]
         # din += sum_k g * q_vn : (G*2W, K) x (K, D) per tile
-        din = din + lax.dot_general(
+        din_neg = lax.dot_general(
             g2, q_vn, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).reshape(B, 2 * W, D)
+            preferred_element_type=jnp.float32).reshape(T, G, 2 * W, D)
+        din = din + from_tiles(din_neg, B)
         v = v.at[centers].add(dv_center)
         v = v.at[negs.reshape(-1)].add(dv_neg.reshape(-1, D))
     else:

@@ -49,10 +49,12 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     my_sents = lax.dynamic_slice(slab_sents, (start,), (B + 2 * W,))
     my_shrink = lax.dynamic_slice(shrink, (start,), (B,))
     if neg_sharing:
-        G = neg_sharing
-        T_global = B_global // G
-        T = B // G
-        my_negs = lax.dynamic_slice(negs, (di * T, 0), (T, K))
+        # Global strided tiling: center with global index g joins tile
+        # g % T_global (see cbow_slab.to_tiles).  A shard's contiguous range
+        # starts at d*B which is a multiple of T_global, so local index
+        # b % T_global == global tile id: every shard uses ALL T_global
+        # negative rows, holding G/nd members of each tile.
+        my_negs = negs                                     # [T_global, K]
     else:
         my_negs = lax.dynamic_slice(negs, (start, 0), (B, K))
 
@@ -91,22 +93,24 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     v_n = _gather_rows(v_local, my_negs, vocab_shard_size)
     q_vn = quantize(v_n, bl)
     if neg_sharing:
+        from word2bits_tpu.models.cbow_slab import from_tiles, to_tiles
         G = neg_sharing
-        T = B // G
-        cavg3 = cavg.reshape(T, G, D)
-        af3 = af.reshape(T, G)
+        T = B_global // G          # global tile count
+        G_local = B // T           # members of each tile on this shard
+        cavg3 = to_tiles(cavg, T, G_local)
+        af3 = to_tiles(af, T, G_local)
         f_neg = lax.dot_general(cavg3, q_vn, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
-        centers3 = centers.reshape(T, G)
+        centers3 = to_tiles(centers, T, G_local)
         skip = my_negs[:, None, :] != centers3[:, :, None]
         m3 = skip.astype(dt) * af3[:, :, None]
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
         loss = loss + jnp.sum(
             (jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq[:, None, :]) * m3)
-        cavge = cavge + lax.dot_general(
+        cavge = cavge + from_tiles(lax.dot_general(
             g_neg, q_vn, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).reshape(B, D)
+            preferred_element_type=jnp.float32), B)
         dv_neg = lax.dot_general(g_neg, cavg3, (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         visits = jnp.sum(m3, axis=1)
@@ -165,8 +169,13 @@ def make_sharded_slab_step(hyper: CBOWHyper, mesh: Mesh,
     nv = mesh.shape[VOCAB_AXIS]
     if batch_size % nd:
         raise ValueError(f"batch {batch_size} not divisible by data axis {nd}")
-    if neg_sharing and (batch_size // nd) % neg_sharing:
-        raise ValueError("per-shard batch must be divisible by neg_sharing")
+    if neg_sharing:
+        if batch_size % neg_sharing:
+            raise ValueError("batch must be divisible by neg_sharing")
+        if neg_sharing % nd:
+            raise ValueError(
+                f"neg_sharing tile ({neg_sharing}) must be divisible by the "
+                f"data-axis size ({nd}) so every shard holds whole tile slices")
     if vocab_size_padded % nv:
         raise ValueError(f"vocab {vocab_size_padded} not divisible by {nv}")
     vss = vocab_size_padded // nv
