@@ -30,9 +30,12 @@ BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
 # Bench scale: large enough to saturate the chip, small enough to build fast.
 N_TOKENS = 4_000_000
 VOCAB = 70_000
+# neg_sharing=16: the largest tile at which shared negatives hold analogy
+# accuracy at parity with per-center draws at bitlevel 1 (see ACCEPTANCE.md
+# sweep) — throughput numbers are only honest at a quality-parity config.
 CFG = dict(bitlevel=1, size=200, window=8, negative=24, min_count=5,
            sample=1e-3, alpha=0.05, batch_size=2048, steps_per_chunk=64,
-           neg_sharing=256)
+           neg_sharing=16)
 BENCH_SECONDS = 20.0
 
 
@@ -96,17 +99,19 @@ def main():
     # warmup / compile.  NOTE: on the axon TPU backend block_until_ready is
     # unreliable (returns before execution); a host scalar fetch is the only
     # trustworthy synchronization, so all timing below syncs via float(loss).
+    print("bench: compiling + warmup...", file=sys.stderr, flush=True)
     key, sub = jax.random.split(key)
     u, v, loss = chunk_fn(u, v, tokens, sents, table.prob, table.alias,
                           scalars(0, 0.0), sub)
     float(loss)
+    print("bench: timing...", file=sys.stderr, flush=True)
 
     # timed region: pipeline 4 chunks per sync to amortize dispatch latency
     t0 = time.perf_counter()
     chunks = 0
     words_done = 0.0
     while True:
-        for _ in range(4):
+        for _ in range(8):
             key, sub = jax.random.split(key)
             u, v, loss = chunk_fn(u, v, tokens, sents, table.prob, table.alias,
                                   scalars(chunks, words_done), sub)

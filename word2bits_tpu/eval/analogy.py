@@ -155,9 +155,10 @@ def evaluate_analogies(words: List[str], vectors: np.ndarray,
 
     for ofs in range(0, len(resolved), batch_size):
         chunk = resolved[ofs:ofs + batch_size]
-        abc = jnp.asarray([(ia, ib, ic) for _, ia, ib, ic, _ in chunk],
-                          dtype=jnp.int32)
-        best, best_score = _analogy_scores(Mn_dev, abc)
+        abc_np = np.zeros((batch_size, 3), np.int32)  # pad: one compile shape
+        for j, (_, ia, ib, ic, _) in enumerate(chunk):
+            abc_np[j] = (ia, ib, ic)
+        best, best_score = _analogy_scores(Mn_dev, jnp.asarray(abc_np))
         best = np.asarray(best)
         pos = np.asarray(best_score) > 0.0  # reference bestd starts at 0 (:115)
         for j, (sec, _, _, _, id_) in enumerate(chunk):

@@ -62,8 +62,8 @@ def _kernel(bitlevel, reg,
     g = (0.0 - _sigmoid_lut_values(f)) * alpha * m
 
     vn_sq = jnp.sum(q_vn * q_vn, axis=-1)[None, :]          # [1, K]
-    loss_ref[0, 0] = jnp.sum((jnp.log(_sigmoid_exact_values(-f))
-                              - reg * vn_sq) * m)
+    loss_ref[pl.program_id(0), 0] = jnp.sum(
+        (jnp.log(_sigmoid_exact_values(-f)) - reg * vn_sq) * m)
 
     # cavge contribution: g @ q_vn : [G, D]
     cavge_ref[0] = jax.lax.dot_general(g, q_vn, (((1,), (0,)), ((), ())),
@@ -111,8 +111,8 @@ def quantized_scores_pallas(cavg3, v_rows, centers3, negs, af3, scalars,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, D), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda t: (t, 0),
-                         memory_space=pltpu.SMEM),
+            # whole (T,1) array in SMEM; each grid step writes its own row
+            pl.BlockSpec((T, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((T, G, D), cavg3.dtype),
