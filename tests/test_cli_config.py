@@ -1,0 +1,57 @@
+"""Reference-style flag parsing (reference src/word2bits.cpp:579-611)."""
+
+import pytest
+
+from word2bits_tpu.config import Word2BitsConfig, config_from_argv
+
+
+def test_reference_defaults():
+    cfg = Word2BitsConfig()
+    # reference defaults (src/word2bits.cpp:48-59)
+    assert cfg.bitlevel == 1
+    assert cfg.size == 100
+    assert cfg.window == 5
+    assert cfg.negative == 5
+    assert cfg.alpha == 0.05
+    assert cfg.sample == 1e-3
+    assert cfg.min_count == 5
+    assert cfg.iter == 5
+    assert cfg.reg == 0.0
+    assert cfg.binary is False
+    assert cfg.debug == 2
+    assert cfg.save_every_epoch is False
+    assert cfg.classes == 0
+    assert cfg.threads == 12
+
+
+def test_parse_reference_quickstart():
+    # the README quickstart command line (reference README.md:93)
+    argv = ("-train text8 -output vectors.txt -size 200 -window 8 "
+            "-negative 24 -threads 4 -iter 5 -min-count 5 -bitlevel 1").split()
+    cfg = config_from_argv(argv)
+    assert cfg.train_file == "text8"
+    assert cfg.output_file == "vectors.txt"
+    assert cfg.size == 200 and cfg.window == 8 and cfg.negative == 24
+    assert cfg.threads == 4 and cfg.iter == 5
+    assert cfg.bitlevel == 1
+
+
+def test_unknown_tokens_ignored():
+    cfg = config_from_argv(["garbage", "-size", "64", "more-garbage"])
+    assert cfg.size == 64
+
+
+def test_missing_value_exits():
+    with pytest.raises(SystemExit):
+        config_from_argv(["-size"])
+
+
+def test_cbow_flag_spelling():
+    assert config_from_argv(["-cbow", "0"]).model == "skipgram"
+    assert config_from_argv(["-cbow", "1"]).model == "cbow"
+
+
+def test_neg_sharing_validation():
+    with pytest.raises(ValueError):
+        Word2BitsConfig(batch_size=100, neg_sharing=64)
+    Word2BitsConfig(batch_size=128, neg_sharing=64)

@@ -100,7 +100,7 @@ def main():
         ref_t = run_reference(exe, corpus, ref_out, bitlevel, iters)
         ref_acc, ref_cov = evaluate(ref_out, questions)
 
-        for sharing, label in ((0, "per-center"), (64, "shared-64")):
+        for sharing, label in ((0, "per-center"), (16, "shared-16")):
             our_out = f"/tmp/parity_ours_b{bitlevel}_{sharing}.bin"
             our_t = run_ours(corpus, our_out, bitlevel, iters, sharing)
             our_acc, our_cov = evaluate(our_out, questions)
