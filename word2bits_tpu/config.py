@@ -63,6 +63,10 @@ class Word2BitsConfig:
     # export vectors per epoch, not resume — SURVEY.md section 5).
     checkpoint_dir: Optional[str] = None
     resume: bool = False
+    # Corpora beyond this many encoded tokens stream through the device in
+    # fixed segments per epoch (keeps token arrays bounded next to the
+    # embedding tables in HBM).  268M tokens ~= 2 GB of epoch arrays.
+    segment_tokens: int = 1 << 28
     seed: int = 1
     init: str = "reference"    # "reference" (exact LCG parity) or "uniform"
     dtype: str = "float32"

@@ -59,6 +59,40 @@ class EpochArrays:
     sent_ids: np.ndarray
     n_tokens: int
     halo: int
+    source_len: int = 0  # encoded tokens this segment was built from
+
+
+def expected_kept_fraction(counts: np.ndarray, sample: float,
+                           train_words: int) -> float:
+    """E[kept tokens] / train_words under the subsampling distribution —
+    used to pre-compute LR word-accounting for streamed epochs."""
+    if train_words <= 0:
+        return 1.0
+    probs = np.minimum(subsample_keep_probs(counts, sample, train_words), 1.0)
+    return float((probs * counts).sum() / max(train_words, 1))
+
+
+def iter_epoch_segments(encoded: np.ndarray, counts: np.ndarray, sample: float,
+                        train_words: int, window: int,
+                        rng: np.random.Generator, segment_tokens: int,
+                        capacity: int | None = None):
+    """Yield EpochArrays for fixed-size segments of one epoch, so corpora
+    larger than HBM stream through the device.
+
+    Segments hard-cut at segment_tokens boundaries — the same "slop" as the
+    reference's per-thread byte-offset sharding (reference
+    src/word2bits.cpp:377, SURVEY.md C10): a window never crosses a segment
+    seam, losing at most `window` context pairs per seam.  All segments share
+    one padded capacity so the jitted chunk compiles once.
+    """
+    n = len(encoded)
+    segment_tokens = max(segment_tokens, 1)
+    if capacity is None:
+        capacity = ((min(n, segment_tokens) + 1023) // 1024) * 1024
+    for start in range(0, n, segment_tokens):
+        seg = encoded[start:start + segment_tokens]
+        yield build_epoch_arrays(seg, counts, sample, train_words, window,
+                                 rng, capacity=capacity)
 
 
 def build_epoch_arrays(encoded: np.ndarray, counts: np.ndarray, sample: float,
@@ -113,4 +147,4 @@ def build_epoch_arrays(encoded: np.ndarray, counts: np.ndarray, sample: float,
     out_tokens[halo:halo + n] = tokens
     out_sents[halo:halo + n] = sent_final
     return EpochArrays(tokens=out_tokens, sent_ids=out_sents,
-                       n_tokens=n, halo=halo)
+                       n_tokens=n, halo=halo, source_len=len(encoded))

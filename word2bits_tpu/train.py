@@ -29,7 +29,7 @@ import numpy as np
 
 from word2bits_tpu.config import Word2BitsConfig
 from word2bits_tpu.data.corpus import build_vocab, encode_corpus
-from word2bits_tpu.data.pipeline import build_epoch_arrays
+from word2bits_tpu.data.pipeline import build_epoch_arrays, iter_epoch_segments
 from word2bits_tpu.data.vocab import Vocab
 from word2bits_tpu.io.vectors import output_vectors, write_vectors
 from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
@@ -95,8 +95,12 @@ def train(cfg: Word2BitsConfig,
 
     train_words = vocab.train_words
     denom = float(cfg.iter) * train_words + 1.0
-    # epoch arrays are padded to a fixed capacity so chunk shapes never change
-    capacity = ((len(encoded) + S * B + 8 + 1023) // 1024) * 1024
+    # epoch arrays are padded to a fixed capacity so chunk shapes never
+    # change; corpora beyond segment_tokens stream through the device in
+    # fixed-size segments (reference-style hard-cut slop at seams, C10)
+    seg_tokens = min(len(encoded), cfg.segment_tokens) or 1
+    capacity = ((seg_tokens + S * B + 8 + 1023) // 1024) * 1024
+    total_len = max(len(encoded), 1)
 
     key = jax.random.PRNGKey(cfg.seed)
 
@@ -123,45 +127,49 @@ def train(cfg: Word2BitsConfig,
         # per-epoch derived stream: fresh subsampling randomness each epoch,
         # reproducible after resume
         epoch_rng = np.random.default_rng([cfg.seed, epoch])
-        ep = build_epoch_arrays(encoded, vocab.counts, cfg.sample,
-                                train_words, W, epoch_rng, capacity=capacity)
-        tokens_dev = jnp.asarray(ep.tokens)
-        sents_dev = jnp.asarray(ep.sent_ids)
-        n_centers = max(ep.n_tokens, 1)
-        wca_per_step = B * train_words / n_centers
-        n_steps = math.ceil(ep.n_tokens / B)
-        n_chunks = max(1, math.ceil(n_steps / S))
-
         epoch_loss = 0.0
         t0 = time.perf_counter()
-        for ci in range(n_chunks):
-            key, sub = jax.random.split(key)
-            base0 = ep.halo + ci * S * B
-            scalars = ChunkScalars(
-                base0=jnp.int32(base0),
-                alpha0=jnp.float32(cfg.alpha),
-                wca_start=jnp.float32(words_done),
-                wca_per_step=jnp.float32(wca_per_step),
-                denom=jnp.float32(denom),
-            )
-            u, v, loss = chunk_fn(u, v, tokens_dev, sents_dev,
-                                  table.prob, table.alias, scalars, sub)
-            chunk_steps = min(S, n_steps - ci * S)
-            words_done += chunk_steps * wca_per_step
-            epoch_loss += float(loss)
-            total_steps += S
-            if cfg.debug > 1:
-                alpha_now = max(cfg.alpha * (1 - words_done / denom),
-                                cfg.alpha * 1e-4)
-                dt = time.perf_counter() - t0
-                wps = words_done / max(time.perf_counter() - t_train0, 1e-9)
-                print(f"\rAlpha: {alpha_now:.6f}  "
-                      f"Progress: {min(words_done / denom * 100, 100.0):.2f}%  "
-                      f"Cost: {epoch_loss:.2f} "
-                      f"Words/sec: {wps / 1000:.2f}k  ",
-                      end="", flush=True)
-            if max_steps is not None and total_steps >= max_steps:
-                stop = True
+        for ep in iter_epoch_segments(encoded, vocab.counts, cfg.sample,
+                                      train_words, W, epoch_rng,
+                                      seg_tokens, capacity=capacity):
+            tokens_dev = jnp.asarray(ep.tokens)
+            sents_dev = jnp.asarray(ep.sent_ids)
+            n_centers = max(ep.n_tokens, 1)
+            # this segment accounts for its share of the epoch's train_words
+            seg_words = train_words * ep.source_len / total_len
+            wca_per_step = B * seg_words / n_centers
+            n_steps = math.ceil(ep.n_tokens / B)
+            n_chunks = max(1, math.ceil(n_steps / S))
+
+            for ci in range(n_chunks):
+                key, sub = jax.random.split(key)
+                base0 = ep.halo + ci * S * B
+                scalars = ChunkScalars(
+                    base0=jnp.int32(base0),
+                    alpha0=jnp.float32(cfg.alpha),
+                    wca_start=jnp.float32(words_done),
+                    wca_per_step=jnp.float32(wca_per_step),
+                    denom=jnp.float32(denom),
+                )
+                u, v, loss = chunk_fn(u, v, tokens_dev, sents_dev,
+                                      table.prob, table.alias, scalars, sub)
+                chunk_steps = min(S, n_steps - ci * S)
+                words_done += chunk_steps * wca_per_step
+                epoch_loss += float(loss)
+                total_steps += S
+                if cfg.debug > 1:
+                    alpha_now = max(cfg.alpha * (1 - words_done / denom),
+                                    cfg.alpha * 1e-4)
+                    wps = words_done / max(time.perf_counter() - t_train0, 1e-9)
+                    print(f"\rAlpha: {alpha_now:.6f}  "
+                          f"Progress: {min(words_done / denom * 100, 100.0):.2f}%  "
+                          f"Cost: {epoch_loss:.2f} "
+                          f"Words/sec: {wps / 1000:.2f}k  ",
+                          end="", flush=True)
+                if max_steps is not None and total_steps >= max_steps:
+                    stop = True
+                    break
+            if stop:
                 break
         # exact end-of-epoch word count (the reference's wca reaches
         # (epoch+1)*train_words as all threads finish)
