@@ -94,13 +94,28 @@ def main():
     exe = build_reference()
     iters = 3 if fast else HYPER["iters"]
 
+    # incremental rows: a crashed/killed run keeps its finished configs
+    rows_path = os.path.join(CACHE, f"parity_rows_{'fast' if fast else 'full'}.jsonl")
     rows = []
+    if os.path.exists(rows_path) and "--fresh" not in sys.argv:
+        rows = [json.loads(l) for l in open(rows_path) if l.strip()]
+    done = {(r["bitlevel"], r["mode"]) for r in rows}
+
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]  # e.g. "1:shared-16"
+
     for bitlevel in (1, 0, 2):
+        wanted = [(s, l) for s, l in ((0, "per-center"), (16, "shared-16"))
+                  if (bitlevel, l) not in done
+                  and (only is None or only == f"{bitlevel}:{l}")]
+        if not wanted:
+            continue
         ref_out = f"/tmp/parity_ref_b{bitlevel}.bin"
         ref_t = run_reference(exe, corpus, ref_out, bitlevel, iters)
         ref_acc, ref_cov = evaluate(ref_out, questions)
 
-        for sharing, label in ((0, "per-center"), (16, "shared-16")):
+        for sharing, label in wanted:
             our_out = f"/tmp/parity_ours_b{bitlevel}_{sharing}.bin"
             our_t = run_ours(corpus, our_out, bitlevel, iters, sharing)
             our_acc, our_cov = evaluate(our_out, questions)
@@ -108,6 +123,8 @@ def main():
                              ref_acc=ref_acc, our_acc=our_acc,
                              ref_cov=ref_cov, our_cov=our_cov,
                              ref_time=ref_t, our_time=our_t))
+            with open(rows_path, "a") as f:
+                f.write(json.dumps(rows[-1]) + "\n")
             print(json.dumps(rows[-1]), flush=True)
 
     with open(os.path.join(REPO, "ACCEPTANCE.md"), "w") as f:

@@ -92,23 +92,45 @@ class AnalogyResult:
             if self.total_questions else 0.0
 
 
-@jax.jit
-def _analogy_scores(M_norm: jax.Array, abc: jax.Array) -> jax.Array:
-    """(Q,3) word-row indices -> (Q,) argmax-excluding-abc best row ids, and
-    whether the best score is strictly positive.  One MXU matmul."""
-    qa = M_norm[abc[:, 0]]
-    qb = M_norm[abc[:, 1]]
-    qc = M_norm[abc[:, 2]]
-    vec = qb - qa + qc                                   # [Q, D]
-    scores = jnp.dot(vec, M_norm.T,
-                     preferred_element_type=jnp.float32)  # [Q, V]
-    Q = scores.shape[0]
-    rows = jnp.arange(Q)
-    neg = jnp.asarray(-jnp.inf, scores.dtype)
-    for k in range(3):
-        scores = scores.at[rows, abc[:, k]].set(neg)
-    best = jnp.argmax(scores, axis=1)
-    best_score = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _analogy_scores(M_norm: jax.Array, abc: jax.Array,
+                    v_block: int = 32768) -> jax.Array:
+    """(Q,3) word-row indices -> (Q,) argmax-excluding-abc best row ids and
+    best scores.  The vocabulary axis is processed in blocks with a running
+    max so peak memory is Q*v_block, not Q*V (a (Q,V) score matrix would be
+    tens of GB at the 3.7M-vocab configuration).  Tie-breaking matches the
+    reference's first-strictly-greater scan (src/compute-accuracy.c:166-176):
+    within a block argmax takes the first max; across blocks an earlier
+    block's winner survives ties."""
+    V, D = M_norm.shape
+    vec = M_norm[abc[:, 1]] - M_norm[abc[:, 0]] + M_norm[abc[:, 2]]  # [Q, D]
+    Q = vec.shape[0]
+    nb = (V + v_block - 1) // v_block
+    Mp = jnp.pad(M_norm, ((0, nb * v_block - V), (0, 0)))
+    neg = jnp.asarray(-jnp.inf, M_norm.dtype)
+
+    def body(carry, i):
+        best, besti = carry
+        blk = jax.lax.dynamic_slice(Mp, (i * v_block, 0), (v_block, D))
+        s = jnp.dot(vec, blk.T, preferred_element_type=jnp.float32)  # [Q, vb]
+        gidx = i * v_block + jnp.arange(v_block, dtype=jnp.int32)
+        excl = ((gidx[None, :] == abc[:, 0:1]) |
+                (gidx[None, :] == abc[:, 1:2]) |
+                (gidx[None, :] == abc[:, 2:3]) |
+                (gidx[None, :] >= V))
+        s = jnp.where(excl, neg, s)
+        bi = jnp.argmax(s, axis=1)
+        bs = jnp.take_along_axis(s, bi[:, None], axis=1)[:, 0]
+        upd = bs > best
+        return (jnp.where(upd, bs, best),
+                jnp.where(upd, gidx[bi], besti)), None
+
+    init = (jnp.full((Q,), neg), jnp.zeros((Q,), jnp.int32))
+    (best_score, best), _ = jax.lax.scan(body, init,
+                                         jnp.arange(nb, dtype=jnp.int32))
     return best, best_score
 
 
@@ -158,7 +180,8 @@ def evaluate_analogies(words: List[str], vectors: np.ndarray,
         abc_np = np.zeros((batch_size, 3), np.int32)  # pad: one compile shape
         for j, (_, ia, ib, ic, _) in enumerate(chunk):
             abc_np[j] = (ia, ib, ic)
-        best, best_score = _analogy_scores(Mn_dev, jnp.asarray(abc_np))
+        v_block = min(32768, max(128, ((Mn.shape[0] + 127) // 128) * 128))
+        best, best_score = _analogy_scores(Mn_dev, jnp.asarray(abc_np), v_block)
         best = np.asarray(best)
         pos = np.asarray(best_score) > 0.0  # reference bestd starts at 0 (:115)
         for j, (sec, _, _, _, id_) in enumerate(chunk):
