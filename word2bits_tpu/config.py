@@ -43,6 +43,7 @@ class Word2BitsConfig:
     iter: int = 5              # epochs
     reg: float = 0.0           # L2 regularization on quantized params
     binary: bool = False       # output format: binary fp32 rows vs Glove text
+    packed: bool = False       # extension: also write bit-packed vectors (.pack)
     debug: int = 2             # verbosity (2 = progress lines)
     save_every_epoch: bool = False
     classes: int = 0           # reference flag; nonzero produced empty output
@@ -139,6 +140,7 @@ REFERENCE_FLAGS = {
     "-seed": ("seed", int),
     "-neg-sharing": ("neg_sharing", int),
     "-model": ("model", str),
+    "-packed": ("packed", lambda s: bool(int(s))),
     "-checkpoint-dir": ("checkpoint_dir", str),
     "-resume": ("resume", lambda s: bool(int(s))),
     # word2vec-style spelling: -cbow 1 == cbow, -cbow 0 == skipgram

@@ -211,6 +211,9 @@ def train(cfg: Word2BitsConfig,
 def _write_output(path: str, vocab: Vocab, u, v, cfg: Word2BitsConfig):
     vecs = output_vectors(np.asarray(u), np.asarray(v), cfg.bitlevel)
     write_vectors(path, vocab.words, vecs, binary=cfg.binary)
+    if cfg.packed and cfg.bitlevel in (1, 2):
+        from word2bits_tpu.io.packed import write_packed
+        write_packed(path + ".pack", vocab.words, vecs, cfg.bitlevel)
 
 
 # ---------------------------------------------------------------------------
