@@ -106,7 +106,7 @@ def main():
     float(loss)
     print("bench: timing...", file=sys.stderr, flush=True)
 
-    # timed region: pipeline 4 chunks per sync to amortize dispatch latency
+    # timed region: pipeline 8 chunks per sync to amortize dispatch latency
     t0 = time.perf_counter()
     chunks = 0
     words_done = 0.0
