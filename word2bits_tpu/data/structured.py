@@ -14,7 +14,7 @@ questions w_{a1,b1} : w_{a1,b2} :: w_{a2,b1} : w_{a2,b2} are solvable by
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -29,7 +29,7 @@ import numpy as np
 
 from word2bits_tpu.config import Word2BitsConfig
 from word2bits_tpu.data.corpus import build_vocab, encode_corpus
-from word2bits_tpu.data.pipeline import build_epoch_arrays, iter_epoch_segments
+from word2bits_tpu.data.pipeline import iter_epoch_segments
 from word2bits_tpu.data.vocab import Vocab
 from word2bits_tpu.io.vectors import output_vectors, write_vectors
 from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
