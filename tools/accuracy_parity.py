@@ -141,6 +141,9 @@ def main():
                     f"| {r['our_time']:.1f} |\n")
         f.write(f"\nGenerated {time.strftime('%Y-%m-%d %H:%M')} by "
                 "tools/accuracy_parity.py" + (" --fast" if fast else "") + ".\n")
+        notes = os.path.join(REPO, "docs", "acceptance_notes.md")
+        if os.path.exists(notes):
+            f.write("\n" + open(notes).read())
     print("wrote ACCEPTANCE.md")
 
 
