@@ -54,6 +54,32 @@ class SlabInputs(NamedTuple):
     neg_ids: jax.Array       # int32 [B, K] or [B//G, K] when shared
 
 
+def scatter_add_hot(table, ids, rows, hot_rows: int):
+    """Scatter-add `rows` into `table` at `ids`, routing updates for the
+    `hot_rows` most-frequent words (vocab ids < hot_rows — the vocabulary is
+    frequency-sorted, reference src/word2bits.cpp:215-242) through a one-hot
+    MXU matmul + dense slice-add instead of the serialized XLA scatter.
+
+    Zipf corpora concentrate most update rows on a few hundred words; the
+    matmul turns those duplicate-heavy rows into one (H,R)x(R,D) contraction
+    while the residual cold rows go through the scatter with hot rows
+    dropped (OOB sentinel).  Exact same sums as a plain scatter-add modulo
+    float summation order."""
+    if hot_rows <= 0:
+        return table.at[ids].add(rows)
+    H = hot_rows
+    D = table.shape[1]
+    onehot = (ids[:, None] == jnp.arange(H, dtype=ids.dtype)[None, :]
+              ).astype(rows.dtype)                      # [R, H]; cold rows all-0
+    delta_hot = jax.lax.dot_general(
+        onehot, rows, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # [H, D]
+    head = jax.lax.dynamic_slice(table, (0, 0), (H, D)) + delta_hot
+    table = jax.lax.dynamic_update_slice(table, head.astype(table.dtype), (0, 0))
+    cold_ids = jnp.where(ids < H, table.shape[0], ids)  # OOB -> dropped
+    return table.at[cold_ids].add(rows, mode="drop")
+
+
 def to_tiles(x, T: int, G: int):
     """[B, ...] -> [T, G, ...], STRIDED: tile t holds centers t, t+T, t+2T…
     so each shared-negative set spans the whole batch instead of one
@@ -82,7 +108,7 @@ def _context_masks(inputs: SlabInputs, B: int, W: int):
 
 def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
               batch_size: int, neg_sharing: int = 0,
-              use_pallas: bool = False):
+              use_pallas: bool = False, hot_rows: int = 0):
     """One synchronous step over B consecutive centers. Returns (u, v, loss).
 
     use_pallas=True routes the shared-negative phase through the fused
@@ -145,8 +171,9 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             cavg3, v_n, centers3, negs, af3, scalars, bl, float(reg), interp)
         loss = loss + nloss
         cavge = cavge + from_tiles(cavge_neg, B)
-        v = v.at[centers].add(dv_center)
-        v = v.at[negs.reshape(-1)].add(dv_neg.reshape(-1, D))
+        v = scatter_add_hot(
+            v, jnp.concatenate([centers, negs.reshape(-1)]),
+            jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]), hot_rows)
     elif neg_sharing and neg_sharing > 0:
         G = neg_sharing
         if B % G:
@@ -178,8 +205,9 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             preferred_element_type=jnp.float32)            # [T, K, D]
         visits = jnp.sum(m3, axis=1)                       # [T, K]
         dv_neg = dv_neg - two_ar * v_n * visits[:, :, None]
-        v = v.at[centers].add(dv_center)
-        v = v.at[negs.reshape(-1)].add(dv_neg.reshape(-1, D))
+        v = scatter_add_hot(
+            v, jnp.concatenate([centers, negs.reshape(-1)]),
+            jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]), hot_rows)
     else:
         negs = inputs.neg_ids                              # [B, K]
         v_n = v[negs]                                      # [B, K, D]
@@ -192,8 +220,9 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         loss = loss + jnp.sum((jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq) * m2)
         cavge = cavge + jnp.einsum("bk,bkd->bd", g_neg, q_vn)
         dv_neg = g_neg[..., None] * cavg[:, None, :] - two_ar * v_n * m2[..., None]
-        v = v.at[centers].add(dv_center)
-        v = v.at[negs.reshape(-1)].add(dv_neg.reshape(-1, D))
+        v = scatter_add_hot(
+            v, jnp.concatenate([centers, negs.reshape(-1)]),
+            jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]), hot_rows)
 
     # --- u updates grouped by slab position (one scatter of B+2W rows).
     # Stacked zero-pads + one sum instead of a 2W-long dynamic-update-slice
@@ -214,7 +243,8 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
 
 def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                           steps: int, neg_sharing: int = 0,
-                          donate: bool = True, use_pallas: bool = False):
+                          donate: bool = True, use_pallas: bool = False,
+                          hot_rows: int = 0):
     """Drop-in replacement for make_train_chunk using the slab formulation.
     Same signature: chunk(u, v, tokens, sent_ids, alias_prob, alias_alias,
     scalars, key) -> (u, v, loss_sum)."""
@@ -243,7 +273,8 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
             inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
                                 shrink=shrink, neg_ids=negs)
             u, v, step_loss = slab_step(u, v, inputs, alpha, hyper, B,
-                                        neg_sharing, use_pallas=use_pallas)
+                                        neg_sharing, use_pallas=use_pallas,
+                                        hot_rows=hot_rows)
             return (u, v, loss + step_loss), None
 
         xs = (jnp.arange(steps, dtype=jnp.int32), keys)
