@@ -106,12 +106,12 @@ def main():
     float(loss)
     print("bench: timing...", file=sys.stderr, flush=True)
 
-    # timed region: pipeline 8 chunks per sync to amortize dispatch latency
+    # timed region: pipeline 16 chunks per sync to amortize dispatch latency
     t0 = time.perf_counter()
     chunks = 0
     words_done = 0.0
     while True:
-        for _ in range(8):
+        for _ in range(16):
             key, sub = jax.random.split(key)
             u, v, loss = chunk_fn(u, v, tokens, sents, table.prob, table.alias,
                                   scalars(chunks, words_done), sub)
