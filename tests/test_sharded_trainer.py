@@ -1,0 +1,40 @@
+"""End-to-end sharded training over the 8-virtual-device CPU mesh."""
+
+import numpy as np
+
+from word2bits_tpu.config import Word2BitsConfig
+from word2bits_tpu.train import train
+from tests.test_integration import _make_corpus
+
+
+def test_sharded_training_end_to_end(tmp_path):
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=150)
+    out = str(tmp_path / "v.bin")
+    cfg = Word2BitsConfig(
+        train_file=corpus, output_file=out, binary=True, bitlevel=1,
+        size=16, window=2, negative=4, iter=3, min_count=1,
+        batch_size=32, steps_per_chunk=4, neg_sharing=8, debug=0,
+        mesh_shape={"data": 2, "vocab": 4})
+    result = train(cfg)
+    assert len(result.epoch_losses) == 3
+    assert all(np.isfinite(l) for l in result.epoch_losses)
+    assert result.epoch_losses[-1] > result.epoch_losses[0]
+    assert result.u.shape[0] == result.vocab.size  # unpadded on return
+
+    from word2bits_tpu.io.vectors import read_vectors
+    words, vecs = read_vectors(out)
+    assert words == result.vocab.words
+    third = np.float32(1.0) / np.float32(3.0)
+    assert set(np.unique(vecs)) <= {third, -third}
+
+
+def test_sharded_requires_cbow(tmp_path):
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=20)
+    cfg = Word2BitsConfig(train_file=corpus, output_file=str(tmp_path / "o"),
+                          model="skipgram", mesh_shape={"data": 8, "vocab": 1},
+                          min_count=1, debug=0)
+    import pytest
+    with pytest.raises(NotImplementedError):
+        train(cfg)

@@ -84,8 +84,33 @@ def train(cfg: Word2BitsConfig,
                       negative=cfg.negative, reg=cfg.reg)
 
     u, v = init_params(V, D, init=cfg.init, seed=cfg.seed)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    start_epoch = 0
+    words_done = 0.0
+    ckpt_path = (os.path.join(cfg.checkpoint_dir, "state.npz")
+                 if cfg.checkpoint_dir else None)
+    if ckpt_path and cfg.resume and os.path.exists(ckpt_path):
+        cu, cv, cepoch, ckey, cwords = load_checkpoint(ckpt_path)
+        u, v = jnp.asarray(cu), jnp.asarray(cv)
+        key = ckey
+        start_epoch = cepoch + 1
+        words_done = cwords
+        _log(cfg, f"Resumed from {ckpt_path} at epoch {start_epoch}")
+
     table = build_alias_table(vocab.unigram_weights())
-    if cfg.model == "skipgram":
+    sharded = None
+    if cfg.mesh_shape:
+        # multi-chip path: vocab-sharded params + data-parallel batch over a
+        # (data, vocab) mesh (parallel/sharded_slab.py)
+        from word2bits_tpu.parallel.trainer import ShardedTrainer
+        if cfg.model != "cbow":
+            raise NotImplementedError("sharded training supports cbow")
+        sharded = ShardedTrainer(cfg, V, u, v)
+        sharded.set_table(table)
+        chunk_fn = None
+        u = v = None
+    elif cfg.model == "skipgram":
         from word2bits_tpu.models.skipgram import make_skipgram_train_chunk
         chunk_fn = make_skipgram_train_chunk(hyper, V, B, S,
                                              neg_sharing=cfg.neg_sharing)
@@ -102,22 +127,8 @@ def train(cfg: Word2BitsConfig,
     capacity = ((seg_tokens + S * B + 8 + 1023) // 1024) * 1024
     total_len = max(len(encoded), 1)
 
-    key = jax.random.PRNGKey(cfg.seed)
-
     epoch_losses: List[float] = []
     total_steps = 0
-    words_done = 0.0
-    start_epoch = 0
-
-    ckpt_path = (os.path.join(cfg.checkpoint_dir, "state.npz")
-                 if cfg.checkpoint_dir else None)
-    if ckpt_path and cfg.resume and os.path.exists(ckpt_path):
-        cu, cv, cepoch, ckey, cwords = load_checkpoint(ckpt_path)
-        u, v = jnp.asarray(cu), jnp.asarray(cv)
-        key = ckey
-        start_epoch = cepoch + 1
-        words_done = cwords
-        _log(cfg, f"Resumed from {ckpt_path} at epoch {start_epoch}")
 
     t_train0 = time.perf_counter()
     stop = False
@@ -144,16 +155,25 @@ def train(cfg: Word2BitsConfig,
             for ci in range(n_chunks):
                 key, sub = jax.random.split(key)
                 base0 = ep.halo + ci * S * B
-                scalars = ChunkScalars(
-                    base0=jnp.int32(base0),
-                    alpha0=jnp.float32(cfg.alpha),
-                    wca_start=jnp.float32(words_done),
-                    wca_per_step=jnp.float32(wca_per_step),
-                    denom=jnp.float32(denom),
-                )
-                u, v, loss = chunk_fn(u, v, tokens_dev, sents_dev,
-                                      table.prob, table.alias, scalars, sub)
                 chunk_steps = min(S, n_steps - ci * S)
+                if sharded is not None:
+                    alphas = np.maximum(
+                        cfg.alpha * (1 - (words_done + np.arange(S)
+                                          * wca_per_step) / denom),
+                        cfg.alpha * 1e-4)
+                    sub, loss_val = sharded.run_steps(
+                        ep.tokens, ep.sent_ids, base0, S, sub, alphas)
+                    loss = loss_val
+                else:
+                    scalars = ChunkScalars(
+                        base0=jnp.int32(base0),
+                        alpha0=jnp.float32(cfg.alpha),
+                        wca_start=jnp.float32(words_done),
+                        wca_per_step=jnp.float32(wca_per_step),
+                        denom=jnp.float32(denom),
+                    )
+                    u, v, loss = chunk_fn(u, v, tokens_dev, sents_dev,
+                                          table.prob, table.alias, scalars, sub)
                 words_done += chunk_steps * wca_per_step
                 epoch_loss += float(loss)
                 total_steps += S
@@ -180,6 +200,10 @@ def train(cfg: Word2BitsConfig,
         _log(cfg, f"Epoch Loss: {epoch_loss:.6f}")
         epoch_losses.append(epoch_loss)
 
+        if sharded is not None and (cfg.save_every_epoch or ckpt_path
+                                    or on_epoch_end or stop
+                                    or epoch == cfg.iter - 1):
+            u, v = sharded.params()
         if cfg.save_every_epoch and cfg.output_file and cfg.classes == 0:
             _write_output(f"{cfg.output_file}_epoch{epoch}", vocab, u, v, cfg)
         if ckpt_path:
@@ -190,6 +214,8 @@ def train(cfg: Word2BitsConfig,
         if stop:
             break
 
+    if sharded is not None and u is None:
+        u, v = sharded.params()
     wall = time.perf_counter() - t_train0
     wps = words_done / max(wall, 1e-9)
 
