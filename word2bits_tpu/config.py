@@ -70,6 +70,9 @@ class Word2BitsConfig:
     segment_tokens: int = 1 << 28
     seed: int = 1
     init: str = "reference"    # "reference" (exact LCG parity) or "uniform"
+    # Backing-store dtype for u/v. "bfloat16" halves HBM (the 3.7M x 800
+    # tables fit one chip) at the cost of rounded update accumulation —
+    # compute stays float32 either way; validate convergence before use.
     dtype: str = "float32"
 
     # --- sharding ---
@@ -138,6 +141,7 @@ REFERENCE_FLAGS = {
     # Extensions beyond the reference:
     "-batch-size": ("batch_size", int),
     "-seed": ("seed", int),
+    "-dtype": ("dtype", str),
     "-neg-sharing": ("neg_sharing", int),
     "-model": ("model", str),
     "-packed": ("packed", lambda s: bool(int(s))),

@@ -222,7 +222,7 @@ def make_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
             return (u, v, loss + step_loss), None
 
         xs = (jnp.arange(steps, dtype=jnp.int32), keys)
-        (u, v, loss), _ = lax.scan(body, (u, v, jnp.asarray(0.0, u.dtype)), xs)
+        (u, v, loss), _ = lax.scan(body, (u, v, jnp.float32(0.0)), xs)
         return u, v, loss
 
     donate_argnums = (0, 1) if donate else ()

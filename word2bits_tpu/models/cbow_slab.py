@@ -65,6 +65,7 @@ def scatter_add_hot(table, ids, rows, hot_rows: int):
     while the residual cold rows go through the scatter with hot rows
     dropped (OOB sentinel).  Exact same sums as a plain scatter-add modulo
     float summation order."""
+    rows = rows.astype(table.dtype)
     if hot_rows <= 0:
         return table.at[ids].add(rows)
     H = hot_rows
@@ -117,13 +118,14 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     """
     B, W, K, D = batch_size, hyper.window, hyper.negative, u.shape[1]
     bl, reg = hyper.bitlevel, hyper.reg
-    dt = u.dtype
+    # compute in f32 even when the backing store is bf16 (cfg.dtype)
+    dt = jnp.float32
 
     slab_ids = jnp.maximum(inputs.slab_tokens, 0)          # [B+2W]
     centers = slab_ids[W:W + B]
 
     # --- one slab gather; quantize once (reference reads quantize(u[ctx])) ---
-    u_slab = u[slab_ids]                                   # [B+2W, D]
+    u_slab = u[slab_ids].astype(dt)                        # [B+2W, D]
     q_slab = quantize(u_slab, bl)
 
     offsets, mask, valid = _context_masks(inputs, B, W)
@@ -145,7 +147,7 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     two_ar = 2.0 * alpha * reg
 
     # --- center (positive) term, always per-center ---
-    v_c = v[centers]                                       # [B, D]
+    v_c = v[centers].astype(dt)                            # [B, D]
     q_vc = quantize(v_c, bl)
     f_pos = jnp.sum(cavg * q_vc, axis=-1)                  # [B]
     g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * af
@@ -161,7 +163,7 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             raise ValueError(f"batch {B} not divisible by neg tile {G}")
         T = B // G
         negs = inputs.neg_ids                              # [T, K]
-        v_n = v[negs]                                      # [T, K, D]
+        v_n = v[negs].astype(dt)                           # [T, K, D]
         cavg3 = to_tiles(cavg, T, G)
         af3 = to_tiles(af, T, G)
         centers3 = to_tiles(centers, T, G)
@@ -180,7 +182,7 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             raise ValueError(f"batch {B} not divisible by neg tile {G}")
         T = B // G
         negs = inputs.neg_ids                              # [T, K]
-        v_n = v[negs]                                      # [T, K, D]
+        v_n = v[negs].astype(dt)                           # [T, K, D]
         q_vn = quantize(v_n, bl)
         cavg3 = to_tiles(cavg, T, G)
         af3 = to_tiles(af, T, G)
@@ -210,7 +212,7 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]), hot_rows)
     else:
         negs = inputs.neg_ids                              # [B, K]
-        v_n = v[negs]                                      # [B, K, D]
+        v_n = v[negs].astype(dt)                           # [B, K, D]
         q_vn = quantize(v_n, bl)
         f_neg = jnp.einsum("bd,bkd->bk", cavg, q_vn)
         skip = negs != centers[:, None]
@@ -278,7 +280,7 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
             return (u, v, loss + step_loss), None
 
         xs = (jnp.arange(steps, dtype=jnp.int32), keys)
-        (u, v, loss), _ = lax.scan(body, (u, v, jnp.asarray(0.0, u.dtype)), xs)
+        (u, v, loss), _ = lax.scan(body, (u, v, jnp.float32(0.0)), xs)
         return u, v, loss
 
     donate_argnums = (0, 1) if donate else ()

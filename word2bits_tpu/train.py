@@ -83,7 +83,8 @@ def train(cfg: Word2BitsConfig,
     hyper = CBOWHyper(bitlevel=cfg.bitlevel, size=D, window=W,
                       negative=cfg.negative, reg=cfg.reg)
 
-    u, v = init_params(V, D, init=cfg.init, seed=cfg.seed)
+    dtype = jnp.dtype(cfg.dtype)
+    u, v = init_params(V, D, init=cfg.init, seed=cfg.seed, dtype=dtype)
 
     key = jax.random.PRNGKey(cfg.seed)
     start_epoch = 0
