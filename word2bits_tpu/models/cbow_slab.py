@@ -238,7 +238,7 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         [jnp.pad(mc[:, oi], (W + o, W - o)) for oi, o in enumerate(offsets)]),
         axis=0)                                            # [B+2W]
     du_slab = du_slab - two_ar * u_slab * cnt[:, None]
-    u = u.at[slab_ids].add(du_slab)
+    u = scatter_add_hot(u, slab_ids, du_slab, hot_rows)
 
     return u, v, loss
 
