@@ -65,7 +65,7 @@ def main():
     import jax.numpy as jnp
     from word2bits_tpu.data.pipeline import build_epoch_arrays
     from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
-    from word2bits_tpu.models.cbow_slab import make_slab_train_chunk
+    from word2bits_tpu.models.cbow_fused import interleave, make_fused_train_chunk
     from word2bits_tpu.models.init import init_params
     from word2bits_tpu.sampling.unigram import build_alias_table
 
@@ -78,9 +78,10 @@ def main():
     import jax.numpy as _jnp
     u, v = init_params(V, CFG["size"], init="uniform", seed=0,
                        dtype=_jnp.dtype(CFG["dtype"]))
+    params = interleave(u, v)  # fused (V, 2D) table: one scatter for u+v_center
     table = build_alias_table(np.maximum(counts, 1) ** 0.75)
-    chunk_fn = make_slab_train_chunk(hyper, V, B, S,
-                                     neg_sharing=CFG["neg_sharing"])
+    chunk_fn = make_fused_train_chunk(hyper, V, B, S,
+                                      neg_sharing=CFG["neg_sharing"])
 
     capacity = ((len(encoded) + S * B + 8 + 1023) // 1024) * 1024
     ep = build_epoch_arrays(encoded, counts, CFG["sample"], train_words, W,
@@ -105,8 +106,8 @@ def main():
     # trustworthy synchronization, so all timing below syncs via float(loss).
     print("bench: compiling + warmup...", file=sys.stderr, flush=True)
     key, sub = jax.random.split(key)
-    u, v, loss = chunk_fn(u, v, tokens, sents, table.prob, table.alias,
-                          scalars(0, 0.0), sub)
+    params, loss = chunk_fn(params, tokens, sents, table.prob, table.alias,
+                            scalars(0, 0.0), sub)
     float(loss)
     print("bench: timing...", file=sys.stderr, flush=True)
 
@@ -117,8 +118,9 @@ def main():
     while True:
         for _ in range(16):
             key, sub = jax.random.split(key)
-            u, v, loss = chunk_fn(u, v, tokens, sents, table.prob, table.alias,
-                                  scalars(chunks, words_done), sub)
+            params, loss = chunk_fn(params, tokens, sents, table.prob,
+                                    table.alias, scalars(chunks, words_done),
+                                    sub)
             chunks += 1
             words_done += S * words_per_step
         float(loss)  # host fetch forces the dependency chain

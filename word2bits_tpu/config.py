@@ -57,6 +57,10 @@ class Word2BitsConfig:
     # score/gradient contractions into MXU matmuls (standard batched-word2vec
     # optimization, cf. pWord2Vec arXiv 1604.04661; documented divergence).
     neg_sharing: int = 0
+    # Interleave u/v into one (V, 2D) table: merges the u-position and
+    # center-v scatters (same word ids) into one — ~15% faster, numerically
+    # identical (models/cbow_fused.py). Requires neg_sharing > 0.
+    fused_tables: bool = False
     # Model family. The reference trains only CBOW (SURVEY.md section 0);
     # skip-gram is an extension with the same quantization contract.
     model: str = "cbow"
@@ -143,6 +147,7 @@ REFERENCE_FLAGS = {
     "-seed": ("seed", int),
     "-dtype": ("dtype", str),
     "-neg-sharing": ("neg_sharing", int),
+    "-fused-tables": ("fused_tables", lambda s: bool(int(s))),
     "-model": ("model", str),
     "-packed": ("packed", lambda s: bool(int(s))),
     "-checkpoint-dir": ("checkpoint_dir", str),

@@ -1,0 +1,178 @@
+"""Interleaved-table CBOW step: u and v fused into one (V, 2D) array.
+
+The slab step's per-step scatter rows are its cost floor (~50 ns/row under
+XLA's serialized scatter; see ARCHITECTURE.md ablation).  Observation: the
+v-table rows updated for *centers* carry exactly the same word ids as the
+u-table rows updated by position — only the table differs.  Storing
+table[:, :D] = u and table[:, D:] = v makes them ONE scatter of B+2W
+double-width rows, and the center v-rows ride the slab gather for free:
+
+  per-step scatter rows:  (B+2W) + B + T*K  ->  (B+2W) + T*K   (-28% at W=8)
+  per-step gather calls:  slab + centers + negs -> slab + negs
+
+Negative rows waste the u-half of their width (zeros scattered, u-half
+gathered unused) — bandwidth is ~1 ns/row against the ~50 ns/row overhead,
+so the trade wins.  Semantics identical to models/cbow_slab.py (tested
+equal); storage converts via interleave()/deinterleave() views.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
+from word2bits_tpu.models.cbow_slab import (
+    SlabInputs,
+    _context_masks,
+    from_tiles,
+    to_tiles,
+)
+from word2bits_tpu.ops.quantize import quantize
+from word2bits_tpu.ops.sigmoid import sigmoid_exact, sigmoid_lut
+
+
+def interleave(u, v):
+    """(V,D),(V,D) -> (V,2D) fused table."""
+    return jnp.concatenate([u, v], axis=1)
+
+
+def deinterleave(table):
+    D = table.shape[1] // 2
+    return table[:, :D], table[:, D:]
+
+
+def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
+                    batch_size: int, neg_sharing: int):
+    """One synchronous step on the fused (V, 2D) table. Shared negatives
+    required (the fused layout exists for the optimized path).
+    Returns (table, loss)."""
+    if not neg_sharing:
+        raise ValueError("fused table step requires neg_sharing > 0")
+    B, W, K, D = batch_size, hyper.window, hyper.negative, table.shape[1] // 2
+    bl, reg = hyper.bitlevel, hyper.reg
+    dt = jnp.float32
+    G = neg_sharing
+    if B % G:
+        raise ValueError(f"batch {B} not divisible by neg tile {G}")
+    T = B // G
+
+    slab_ids = jnp.maximum(inputs.slab_tokens, 0)          # [B+2W]
+    centers = slab_ids[W:W + B]
+
+    # ONE gather: u rows for all positions + v rows for the centers
+    slab_rows = table[slab_ids].astype(dt)                 # [B+2W, 2D]
+    u_slab = slab_rows[:, :D]
+    v_c = slab_rows[W:W + B, D:]                           # centers' v rows
+    q_slab = quantize(u_slab, bl)
+
+    offsets, mask, valid = _context_masks(inputs, B, W)
+    mf = mask.astype(dt)
+    csum = jnp.zeros((B, D), dt)
+    sq_sum = jnp.zeros((B,), dt)
+    q_sq = jnp.sum(q_slab * q_slab, axis=-1)
+    for oi, o in enumerate(offsets):
+        csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
+        sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
+    cw = jnp.sum(mf, axis=1)
+    active = valid & (cw > 0)
+    af = active.astype(dt)
+    cavg = csum / jnp.maximum(cw, 1.0)[:, None]
+    loss = -reg * jnp.sum(sq_sum * af)
+    two_ar = 2.0 * alpha * reg
+
+    # positive term
+    q_vc = quantize(v_c, bl)
+    f_pos = jnp.sum(cavg * q_vc, axis=-1)
+    g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * af
+    loss = loss + jnp.sum((jnp.log(sigmoid_exact(f_pos))
+                           - reg * jnp.sum(q_vc * q_vc, axis=-1)) * af)
+    cavge = g_pos[:, None] * q_vc
+    dv_center = g_pos[:, None] * cavg - two_ar * v_c * af[:, None]
+
+    # shared negatives (strided tiles), v-half gathered from the fused table
+    negs = inputs.neg_ids                                  # [T, K]
+    v_n = table[negs][..., D:].astype(dt)                  # [T, K, D]
+    q_vn = quantize(v_n, bl)
+    cavg3 = to_tiles(cavg, T, G)
+    af3 = to_tiles(af, T, G)
+    f_neg = lax.dot_general(cavg3, q_vn, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    centers3 = to_tiles(centers, T, G)
+    skip = negs[:, None, :] != centers3[:, :, None]
+    m3 = skip.astype(dt) * af3[:, :, None]
+    g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
+    vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
+    loss = loss + jnp.sum(
+        (jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq[:, None, :]) * m3)
+    cavge = cavge + from_tiles(lax.dot_general(
+        g_neg, q_vn, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32), B)
+    dv_neg = lax.dot_general(g_neg, cavg3, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    visits = jnp.sum(m3, axis=1)
+    dv_neg = dv_neg - two_ar * v_n * visits[:, :, None]
+
+    # u updates grouped by position (windowed sums)
+    mc = mf * af[:, None]
+    shifted = jnp.stack(
+        [jnp.pad(mc[:, oi, None] * cavge, ((W + o, W - o), (0, 0)))
+         for oi, o in enumerate(offsets)])
+    du_slab = jnp.sum(shifted, axis=0)
+    cnt = jnp.sum(jnp.stack(
+        [jnp.pad(mc[:, oi], (W + o, W - o)) for oi, o in enumerate(offsets)]),
+        axis=0)
+    du_slab = du_slab - two_ar * u_slab * cnt[:, None]
+
+    # ONE fused scatter for u-positions + center v-rows ...
+    dv_slab = jnp.zeros((B + 2 * W, D), dt)
+    dv_slab = lax.dynamic_update_slice(dv_slab, dv_center, (W, 0))
+    fused_rows = jnp.concatenate([du_slab, dv_slab], axis=1)  # [B+2W, 2D]
+    table = table.at[slab_ids].add(fused_rows.astype(table.dtype))
+    # ... plus the negative-row scatter (u-half zero)
+    neg_rows = jnp.concatenate(
+        [jnp.zeros(dv_neg.reshape(-1, D).shape, dt), dv_neg.reshape(-1, D)],
+        axis=1)
+    table = table.at[negs.reshape(-1)].add(neg_rows.astype(table.dtype))
+    return table, loss
+
+
+def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
+                           steps: int, neg_sharing: int,
+                           donate: bool = True):
+    """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key)
+    -> (table, loss_sum); table is the fused (V, 2D) array."""
+    from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
+
+    B, W, K = batch_size, hyper.window, hyper.negative
+    neg_rows = batch_size // neg_sharing
+
+    def chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key):
+        atab = AliasTable(prob=alias_prob, alias=alias_alias)
+        keys = jax.random.split(key, steps)
+
+        def body(carry, xs):
+            table, loss = carry
+            s, k = xs
+            k_neg, k_win = jax.random.split(k)
+            base = scalars.base0 + s * B
+            wca = scalars.wca_start + s.astype(jnp.float32) * scalars.wca_per_step
+            alpha = scalars.alpha0 * (1.0 - wca / scalars.denom)
+            alpha = jnp.maximum(alpha, scalars.alpha0 * 1e-4)
+            slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
+            slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
+            shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
+            negs = draw_negatives(k_neg, atab, (neg_rows, K), vocab_size)
+            inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
+                                shrink=shrink, neg_ids=negs)
+            table, step_loss = fused_slab_step(table, inputs, alpha, hyper,
+                                               B, neg_sharing)
+            return (table, loss + step_loss), None
+
+        xs = (jnp.arange(steps, dtype=jnp.int32), keys)
+        (table, loss), _ = lax.scan(body, (table, jnp.float32(0.0)), xs)
+        return table, loss
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(chunk, donate_argnums=donate_argnums)

@@ -111,6 +111,20 @@ def train(cfg: Word2BitsConfig,
         sharded.set_table(table)
         chunk_fn = None
         u = v = None
+    elif cfg.fused_tables and cfg.neg_sharing and cfg.model == "cbow":
+        # interleaved (V, 2D) table path: one scatter covers u + center-v
+        from word2bits_tpu.models.cbow_fused import (
+            deinterleave, interleave, make_fused_train_chunk)
+        fused_fn = make_fused_train_chunk(hyper, V, B, S,
+                                          neg_sharing=cfg.neg_sharing)
+
+        def chunk_fn(u_, v_, *args):
+            # u_ carries the fused table; v_ is a zero-size sentinel
+            table_, loss_ = fused_fn(u_, *args)
+            return table_, v_, loss_
+
+        u = interleave(u, v)
+        v = jnp.zeros((0,), u.dtype)
     elif cfg.model == "skipgram":
         from word2bits_tpu.models.skipgram import make_skipgram_train_chunk
         chunk_fn = make_skipgram_train_chunk(hyper, V, B, S,
@@ -118,6 +132,16 @@ def train(cfg: Word2BitsConfig,
     else:
         chunk_fn = make_slab_train_chunk(hyper, V, B, S,
                                          neg_sharing=cfg.neg_sharing)
+
+    fused_mode = bool(sharded is None and cfg.fused_tables
+                      and cfg.neg_sharing and cfg.model == "cbow")
+
+    def _uv(u_, v_):
+        """Split params for export/checkpoint (fused mode interleaves)."""
+        if fused_mode:
+            from word2bits_tpu.models.cbow_fused import deinterleave
+            return deinterleave(u_)
+        return u_, v_
 
     train_words = vocab.train_words
     denom = float(cfg.iter) * train_words + 1.0
@@ -205,18 +229,21 @@ def train(cfg: Word2BitsConfig,
                                     or on_epoch_end or stop
                                     or epoch == cfg.iter - 1):
             u, v = sharded.params()
+        if cfg.save_every_epoch or ckpt_path or on_epoch_end:
+            uu, vv = _uv(u, v)
         if cfg.save_every_epoch and cfg.output_file and cfg.classes == 0:
-            _write_output(f"{cfg.output_file}_epoch{epoch}", vocab, u, v, cfg)
+            _write_output(f"{cfg.output_file}_epoch{epoch}", vocab, uu, vv, cfg)
         if ckpt_path:
             os.makedirs(cfg.checkpoint_dir, exist_ok=True)
-            save_checkpoint(ckpt_path, u, v, epoch, key, words_done)
+            save_checkpoint(ckpt_path, uu, vv, epoch, key, words_done)
         if on_epoch_end is not None:
-            on_epoch_end(epoch, np.asarray(u), np.asarray(v), epoch_loss)
+            on_epoch_end(epoch, np.asarray(uu), np.asarray(vv), epoch_loss)
         if stop:
             break
 
     if sharded is not None and u is None:
         u, v = sharded.params()
+    u, v = _uv(u, v)
     wall = time.perf_counter() - t_train0
     wps = words_done / max(wall, 1e-9)
 
