@@ -10,13 +10,27 @@ step under jit/shard_map; the 10^8-entry unigram table becomes an on-device
 alias sampler; the analogy evaluator becomes one batched matmul.
 """
 
-from word2bits_tpu.config import Word2BitsConfig
+from word2bits_tpu.config import Word2BitsConfig, config_from_argv
 from word2bits_tpu.ops.quantize import quantize, quantize_ste
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Word2BitsConfig",
+    "config_from_argv",
     "quantize",
     "quantize_ste",
+    "train",
+    "evaluate_analogies",
 ]
+
+
+def __getattr__(name):
+    # heavy imports on demand so `import word2bits_tpu` stays light
+    if name == "train":
+        from word2bits_tpu.train import train
+        return train
+    if name == "evaluate_analogies":
+        from word2bits_tpu.eval.analogy import evaluate_analogies
+        return evaluate_analogies
+    raise AttributeError(name)

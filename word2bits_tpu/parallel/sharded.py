@@ -20,7 +20,6 @@ summation order (asserted in tests on an 8-virtual-device CPU mesh).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
