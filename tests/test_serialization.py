@@ -75,3 +75,17 @@ def test_output_vectors_is_quantized_sum():
     s = u + v
     want = np.where(np.abs(s) <= 0.5, 0.25, 0.75) * np.where(s < 0, -1, 1)
     np.testing.assert_array_equal(out, want.astype(np.float32))
+
+
+def test_gzip_text_vectors(tmp_path):
+    """The reference's pretrained catalog ships .gz text vectors."""
+    import gzip
+    vecs = _vectors()
+    plain = str(tmp_path / "v.txt")
+    write_vectors(plain, WORDS, vecs, binary=False)
+    gz = str(tmp_path / "v.txt.gz")
+    with open(plain, "rb") as fin, gzip.open(gz, "wb") as fout:
+        fout.write(fin.read())
+    words, got = read_vectors(gz)
+    assert words == WORDS
+    np.testing.assert_allclose(got, vecs, atol=1e-6)

@@ -51,11 +51,27 @@ def write_vectors(path: str, words: List[str], vectors: np.ndarray,
         f.write(buf.getvalue())
 
 
+def _open_maybe_gzip(path: str):
+    """The reference's pretrained-vector catalog ships gzip'd text files
+    (reference README.md:27-41); sniff the magic and decompress on the fly."""
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        import gzip
+        data = gzip.open(f).read()
+        f.close()
+        import io as _io
+        return _io.BytesIO(data)
+    return f
+
+
 def read_vectors(path: str, binary: bool | None = None,
                  max_words: int = 0) -> Tuple[List[str], np.ndarray]:
-    """Read either format. binary=None sniffs the format. max_words truncates
-    like the reference evaluator's threshold (src/compute-accuracy.c:86)."""
-    with open(path, "rb") as f:
+    """Read either format (plain or gzip'd). binary=None sniffs the format.
+    max_words truncates like the reference evaluator's threshold
+    (src/compute-accuracy.c:86)."""
+    with _open_maybe_gzip(path) as f:
         header = f.readline().split()
         V, D = int(header[0]), int(header[1])
         if max_words and V > max_words:
