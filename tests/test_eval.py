@@ -141,3 +141,17 @@ def test_load_questions_file(tmp_path):
     assert q.sections == ["capital-common-countries", "gram1-adjective-to-adverb"]
     assert q.questions[0] == (0, "ATHENS", "GREECE", "BAGHDAD", "IRAQ")
     assert q.questions[1][0] == 1
+
+
+def test_real_google_analogies_parse():
+    """The actual dataset (from the reference checkout) parses to the counts
+    SURVEY.md C22 documents."""
+    import os
+    path = "/root/reference/data/google_analogies_test_set/questions-words.txt"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference dataset not present")
+    q = load_questions(path)
+    assert len(q.sections) == 14
+    assert len(q.questions) == 19544
+    assert q.sections[0] == "capital-common-countries"
