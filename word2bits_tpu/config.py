@@ -79,6 +79,11 @@ class Word2BitsConfig:
     # compute stays float32 either way; validate convergence before use.
     dtype: str = "float32"
 
+    # jax.profiler trace output dir (traces the first training chunk);
+    # the aux-subsystem analog of the reference's words/sec counter
+    # (SURVEY.md section 5 tracing row). None = off.
+    profile_dir: Optional[str] = None
+
     # --- sharding ---
     mesh_shape: Optional[dict] = None  # e.g. {"data": 2, "vocab": 4}; None = single chip
 
@@ -152,6 +157,7 @@ REFERENCE_FLAGS = {
     "-packed": ("packed", lambda s: bool(int(s))),
     "-checkpoint-dir": ("checkpoint_dir", str),
     "-resume": ("resume", lambda s: bool(int(s))),
+    "-profile-dir": ("profile_dir", str),
     # word2vec-style spelling: -cbow 1 == cbow, -cbow 0 == skipgram
     "-cbow": ("model", lambda s: "cbow" if int(s) else "skipgram"),
 }

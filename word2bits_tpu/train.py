@@ -155,6 +155,14 @@ def train(cfg: Word2BitsConfig,
     epoch_losses: List[float] = []
     total_steps = 0
 
+    profiling = False
+    if cfg.profile_dir:
+        try:
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
+        except Exception as e:  # axon backends may not support tracing
+            _log(cfg, f"WARNING: profiler unavailable ({e})")
+
     t_train0 = time.perf_counter()
     stop = False
 
@@ -202,6 +210,11 @@ def train(cfg: Word2BitsConfig,
                 words_done += chunk_steps * wca_per_step
                 epoch_loss += float(loss)
                 total_steps += S
+                if profiling:
+                    # trace covers exactly one chunk (compile + execute)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    _log(cfg, f"Wrote profiler trace to {cfg.profile_dir}")
                 if cfg.debug > 1:
                     alpha_now = max(cfg.alpha * (1 - words_done / denom),
                                     cfg.alpha * 1e-4)
