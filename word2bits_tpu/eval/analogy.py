@@ -162,32 +162,33 @@ def evaluate_analogies(words: List[str], vectors: np.ndarray,
     Mn_dev = jnp.asarray(Mn)
 
     S = len(questions.sections)
-    seen = np.zeros(S, dtype=np.int64)
-    correct = np.zeros(S, dtype=np.int64)
-    tq = 0
+    tq = len(questions.questions)
 
     # resolve all questions to indices; keep only fully-covered ones
-    resolved: List[Tuple[int, int, int, int, int]] = []
-    for sec, a, b, c, d in questions.questions:
-        tq += 1
-        ia, ib, ic, id_ = (index.get(x, -1) for x in (a, b, c, d))
-        if ia < 0 or ib < 0 or ic < 0 or id_ < 0:
-            continue
-        resolved.append((sec, ia, ib, ic, id_))
+    get = index.get
+    quads = np.asarray(
+        [(sec, get(a, -1), get(b, -1), get(c, -1), get(d, -1))
+         for sec, a, b, c, d in questions.questions], dtype=np.int64
+    ).reshape(tq, 5)
+    covered = (quads[:, 1:] >= 0).all(axis=1) if tq else np.zeros(0, bool)
+    res = quads[covered]
+    secs = res[:, 0]
+    answers = res[:, 4]
+    n = res.shape[0]
 
-    for ofs in range(0, len(resolved), batch_size):
-        chunk = resolved[ofs:ofs + batch_size]
+    ok = np.zeros(n, dtype=bool)
+    v_block = min(32768, max(128, ((Mn.shape[0] + 127) // 128) * 128))
+    for ofs in range(0, n, batch_size):
+        m = min(batch_size, n - ofs)
         abc_np = np.zeros((batch_size, 3), np.int32)  # pad: one compile shape
-        for j, (_, ia, ib, ic, _) in enumerate(chunk):
-            abc_np[j] = (ia, ib, ic)
-        v_block = min(32768, max(128, ((Mn.shape[0] + 127) // 128) * 128))
+        abc_np[:m] = res[ofs:ofs + m, 1:4]
         best, best_score = _analogy_scores(Mn_dev, jnp.asarray(abc_np), v_block)
-        best = np.asarray(best)
-        pos = np.asarray(best_score) > 0.0  # reference bestd starts at 0 (:115)
-        for j, (sec, _, _, _, id_) in enumerate(chunk):
-            seen[sec] += 1
-            if pos[j] and best[j] == id_:
-                correct[sec] += 1
+        best = np.asarray(best)[:m]
+        pos = np.asarray(best_score)[:m] > 0.0  # reference bestd starts at 0 (:115)
+        ok[ofs:ofs + m] = pos & (best == answers[ofs:ofs + m])
+
+    seen = np.bincount(secs, minlength=S).astype(np.int64)
+    correct = np.bincount(secs[ok], minlength=S).astype(np.int64)
 
     return AnalogyResult(
         section_names=list(questions.sections),
