@@ -133,7 +133,7 @@ def main():
                 "(no network egress; see word2bits_tpu/data/structured.py).\n"
                 "Reference = original C++ binary, 4 threads, this container's "
                 "CPU. Ours = TPU v5e single chip.\n\n")
-        f.write("| bitlevel | mode | ref acc %% | ours acc %% | ref s | ours s |\n")
+        f.write("| bitlevel | mode | ref acc % | ours acc % | ref s | ours s |\n")
         f.write("|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(f"| {r['bitlevel']} | {r['mode']} | {r['ref_acc']:.2f} "
