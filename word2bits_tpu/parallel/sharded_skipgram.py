@@ -1,0 +1,172 @@
+"""Vocab-sharded + data-parallel skip-gram step (mirrors sharded_slab.py).
+
+Same mesh/collective design as the CBOW sharded step: u/v sharded
+P("vocab", None), inputs replicated, rows fetched by masked-local-gather +
+psum over "vocab", per-shard deltas psum'd over "data".  The skip-gram math
+is models/skipgram.py's (per (center, offset) pair, the context word's input
+row scores against center + tile-shared negatives).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from word2bits_tpu.models.cbow import CBOWHyper
+from word2bits_tpu.models.cbow_slab import (
+    SlabInputs,
+    _context_masks,
+    from_tiles,
+    to_tiles,
+)
+from word2bits_tpu.ops.quantize import quantize
+from word2bits_tpu.ops.sigmoid import sigmoid_exact, sigmoid_lut
+from word2bits_tpu.parallel.mesh import DATA_AXIS, VOCAB_AXIS
+from word2bits_tpu.parallel.sharded import _gather_rows, _scatter_delta
+
+
+def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
+                           negs, alpha, hyper: CBOWHyper, B_global: int,
+                           neg_sharing: int, vocab_shard_size: int):
+    W, K, D = hyper.window, hyper.negative, u_local.shape[1]
+    bl, reg = hyper.bitlevel, hyper.reg
+    dt = jnp.float32
+    Vs = u_local.shape[0]
+
+    nd = lax.axis_size(DATA_AXIS)
+    di = lax.axis_index(DATA_AXIS)
+    B = B_global // nd
+    start = di * B
+    my_tokens = lax.dynamic_slice(slab_tokens, (start,), (B + 2 * W,))
+    my_sents = lax.dynamic_slice(slab_sents, (start,), (B + 2 * W,))
+    my_shrink = lax.dynamic_slice(shrink, (start,), (B,))
+    if neg_sharing:
+        my_negs = negs                                     # [T_global, K]
+    else:
+        my_negs = lax.dynamic_slice(negs, (start, 0), (B, K))
+
+    inputs = SlabInputs(my_tokens, my_sents, my_shrink, my_negs)
+    slab_ids = jnp.maximum(my_tokens, 0)
+    centers = slab_ids[W:W + B]
+    u_slab = _gather_rows(u_local, slab_ids, vocab_shard_size).astype(dt)
+    q_slab = quantize(u_slab, bl)
+
+    offsets, mask, valid = _context_masks(inputs, B, W)
+    mf = mask.astype(dt)
+    q_in = jnp.stack([q_slab[W + o:W + o + B] for o in offsets], axis=1)
+    u_in = jnp.stack([u_slab[W + o:W + o + B] for o in offsets], axis=1)
+    two_ar = 2.0 * alpha * reg
+
+    v_c = _gather_rows(v_local, centers, vocab_shard_size).astype(dt)
+    q_vc = quantize(v_c, bl)
+    f_pos = jnp.einsum("bod,bd->bo", q_in, q_vc)
+    g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * mf
+    vc_sq = jnp.sum(q_vc * q_vc, axis=-1)
+    in_sq = jnp.sum(q_in * q_in, axis=-1)
+    loss = jnp.sum((jnp.log(sigmoid_exact(f_pos))
+                    - reg * (vc_sq[:, None] + in_sq)) * mf)
+    pair_cnt = jnp.sum(mf, axis=1)
+    dv_center = jnp.einsum("bo,bod->bd", g_pos, q_in) \
+        - two_ar * v_c * pair_cnt[:, None]
+    din = g_pos[..., None] * q_vc[:, None, :]
+
+    v_n = _gather_rows(v_local, my_negs, vocab_shard_size).astype(dt)
+    q_vn = quantize(v_n, bl)
+    if neg_sharing:
+        G = neg_sharing
+        T = B_global // G
+        G_local = B // T
+        q_in4 = to_tiles(q_in, T, G_local).reshape(T, G_local * 2 * W, D)
+        mf4 = to_tiles(mf, T, G_local)
+        centers3 = to_tiles(centers, T, G_local)
+        f_neg = lax.dot_general(q_in4, q_vn, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        f_neg = f_neg.reshape(T, G_local, 2 * W, K)
+        skip = (my_negs[:, None, :] != centers3[:, :, None])
+        m4 = mf4[..., None] * skip[:, :, None, :].astype(dt)
+        g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m4
+        vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
+        loss = loss + jnp.sum(
+            (jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq[:, None, None, :]) * m4)
+        g2 = g_neg.reshape(T, G_local * 2 * W, K)
+        dv_neg = lax.dot_general(g2, q_in4, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        visits = jnp.sum(m4, axis=(1, 2))
+        dv_neg = dv_neg - two_ar * v_n * visits[..., None]
+        din_neg = lax.dot_general(g2, q_vn, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32
+                                  ).reshape(T, G_local, 2 * W, D)
+        din = din + from_tiles(din_neg, B)
+        neg_rows_flat = my_negs.reshape(-1)
+        dv_neg_flat = dv_neg.reshape(-1, D)
+    else:
+        f_neg = jnp.einsum("bod,bkd->bok", q_in, q_vn)
+        skip = (my_negs != centers[:, None])
+        m3 = mf[..., None] * skip[:, None, :].astype(dt)
+        g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
+        vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
+        loss = loss + jnp.sum(
+            (jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq[:, None, :]) * m3)
+        dv_neg = jnp.einsum("bok,bod->bkd", g_neg, q_in)
+        visits = jnp.sum(m3, axis=1)
+        dv_neg = dv_neg - two_ar * v_n * visits[..., None]
+        din = din + jnp.einsum("bok,bkd->bod", g_neg, q_vn)
+        neg_rows_flat = my_negs.reshape(-1)
+        dv_neg_flat = dv_neg.reshape(-1, D)
+
+    din = din * mf[..., None] - two_ar * u_in * mf[..., None]
+    shifted = jnp.stack(
+        [jnp.pad(din[:, oi], ((W + o, W - o), (0, 0)))
+         for oi, o in enumerate(offsets)])
+    du_slab = jnp.sum(shifted, axis=0)
+
+    ones_b = jnp.ones(centers.shape, bool)
+    ones_slab = jnp.ones(slab_ids.shape, bool)
+    ones_neg = jnp.ones(neg_rows_flat.shape, bool)
+    delta_v = _scatter_delta(centers, dv_center, ones_b, vocab_shard_size,
+                             (Vs, D))
+    delta_v = delta_v + _scatter_delta(neg_rows_flat, dv_neg_flat, ones_neg,
+                                       vocab_shard_size, (Vs, D))
+    delta_u = _scatter_delta(slab_ids, du_slab, ones_slab, vocab_shard_size,
+                             (Vs, D))
+    delta_v = lax.psum(delta_v, DATA_AXIS)
+    delta_u = lax.psum(delta_u, DATA_AXIS)
+    loss = lax.psum(loss, DATA_AXIS)
+    return (u_local + delta_u.astype(u_local.dtype),
+            v_local + delta_v.astype(v_local.dtype), loss)
+
+
+def make_sharded_skipgram_step(hyper: CBOWHyper, mesh: Mesh,
+                               vocab_size_padded: int, batch_size: int,
+                               neg_sharing: int = 0):
+    """Same contract as make_sharded_slab_step, skip-gram objective."""
+    nd = mesh.shape[DATA_AXIS]
+    nv = mesh.shape[VOCAB_AXIS]
+    if batch_size % nd:
+        raise ValueError(f"batch {batch_size} not divisible by data axis {nd}")
+    if neg_sharing:
+        if batch_size % neg_sharing:
+            raise ValueError("batch must be divisible by neg_sharing")
+        if neg_sharing % nd:
+            raise ValueError("neg_sharing tile must be divisible by data axis")
+    if vocab_size_padded % nv:
+        raise ValueError(f"vocab {vocab_size_padded} not divisible by {nv}")
+    vss = vocab_size_padded // nv
+
+    def step(u_local, v_local, slab_tokens, slab_sents, shrink, negs, alpha):
+        u_local, v_local, loss = _sharded_skipgram_body(
+            u_local, v_local, slab_tokens, slab_sents, shrink, negs, alpha,
+            hyper, batch_size, neg_sharing, vss)
+        loss = lax.psum(loss, VOCAB_AXIS) / nv
+        return u_local, v_local, loss
+
+    pp = P(VOCAB_AXIS, None)
+    rep = P()
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(pp, pp, rep, rep, rep, rep, rep),
+        out_specs=(pp, pp, rep),
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))

@@ -24,6 +24,7 @@ from word2bits_tpu.models.cbow import CBOWHyper
 from word2bits_tpu.models.cbow_slab import SlabInputs
 from word2bits_tpu.parallel.mesh import VOCAB_AXIS, make_mesh
 from word2bits_tpu.parallel.sharded import pad_vocab_rows, shard_params
+from word2bits_tpu.parallel.sharded_skipgram import make_sharded_skipgram_step
 from word2bits_tpu.parallel.sharded_slab import make_sharded_slab_step
 from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
 
@@ -41,9 +42,10 @@ class ShardedTrainer:
                           reg=cfg.reg)
         up = pad_vocab_rows(np.asarray(u), self.nv)
         vp = pad_vocab_rows(np.asarray(v), self.nv)
-        self.step_fn = make_sharded_slab_step(
-            hyper, self.mesh, up.shape[0], cfg.batch_size,
-            neg_sharing=cfg.neg_sharing)
+        mk = (make_sharded_skipgram_step if cfg.model == "skipgram"
+              else make_sharded_slab_step)
+        self.step_fn = mk(hyper, self.mesh, up.shape[0], cfg.batch_size,
+                          neg_sharing=cfg.neg_sharing)
         self.u, self.v = shard_params(jnp.asarray(up), jnp.asarray(vp),
                                       self.mesh)
         self.W = cfg.window

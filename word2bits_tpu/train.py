@@ -105,8 +105,6 @@ def train(cfg: Word2BitsConfig,
         # multi-chip path: vocab-sharded params + data-parallel batch over a
         # (data, vocab) mesh (parallel/sharded_slab.py)
         from word2bits_tpu.parallel.trainer import ShardedTrainer
-        if cfg.model != "cbow":
-            raise NotImplementedError("sharded training supports cbow")
         sharded = ShardedTrainer(cfg, V, u, v)
         sharded.set_table(table)
         chunk_fn = None
