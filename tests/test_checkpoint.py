@@ -49,3 +49,19 @@ def test_checkpoint_files_written(tmp_path):
     z = np.load(os.path.join(ckpt, "state.npz"))
     assert int(z["epoch"]) == 1
     assert z["u"].shape == z["v"].shape
+
+
+def test_bf16_checkpoint_roundtrip(tmp_path):
+    """bfloat16 params survive checkpoint/resume (numpy can't savez bf16;
+    stored as lossless f32 and re-cast on load)."""
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=40)
+    ckpt = str(tmp_path / "ck")
+    base = dict(train_file=corpus, output_file=str(tmp_path / "o"),
+                size=8, window=2, negative=3, min_count=1, batch_size=16,
+                steps_per_chunk=2, debug=0, dtype="bfloat16",
+                checkpoint_dir=ckpt)
+    train(Word2BitsConfig(iter=1, **base))
+    result = train(Word2BitsConfig(iter=2, resume=True, **base))
+    assert len(result.epoch_losses) == 1
+    assert np.isfinite(result.u.astype(np.float32)).all()

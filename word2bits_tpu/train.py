@@ -93,7 +93,7 @@ def train(cfg: Word2BitsConfig,
                  if cfg.checkpoint_dir else None)
     if ckpt_path and cfg.resume and os.path.exists(ckpt_path):
         cu, cv, cepoch, ckey, cwords = load_checkpoint(ckpt_path)
-        u, v = jnp.asarray(cu), jnp.asarray(cv)
+        u, v = jnp.asarray(cu, dtype=dtype), jnp.asarray(cv, dtype=dtype)
         key = ckey
         start_epoch = cepoch + 1
         words_done = cwords
@@ -286,7 +286,10 @@ def _write_output(path: str, vocab: Vocab, u, v, cfg: Word2BitsConfig):
 # ---------------------------------------------------------------------------
 
 def save_checkpoint(path: str, u, v, epoch: int, key, words_done: float):
-    np.savez(path, u=np.asarray(u), v=np.asarray(v), epoch=epoch,
+    # store params as float32: numpy cannot serialize bfloat16 (saves as a
+    # void dtype); the upcast is lossless and train() re-casts on resume
+    np.savez(path, u=np.asarray(u).astype(np.float32),
+             v=np.asarray(v).astype(np.float32), epoch=epoch,
              key=np.asarray(key), words_done=words_done)
 
 
