@@ -33,7 +33,7 @@ echo "== resume for one more epoch =="
 python -m word2bits_tpu.cli train -train corpus.txt -output cbow.bin -binary 1 \
     -size 32 -window 3 -negative 6 -iter 3 -min-count 2 -bitlevel 1 \
     -batch-size 128 -neg-sharing 16 -fused-tables 1 -dtype bfloat16 \
-    -checkpoint-dir ckpt -resume 1 -debug 1 | tail -2
+    -packed 1 -checkpoint-dir ckpt -resume 1 -debug 1 | tail -2
 
 echo "== skip-gram train =="
 python -m word2bits_tpu.cli train -train corpus.txt -output sg.bin -binary 1 \

@@ -19,7 +19,19 @@ import sys
 from word2bits_tpu.config import config_from_argv
 
 
+def _maybe_force_cpu():
+    """W2B_FORCE_CPU=1 pins the CPU backend (works even though sitecustomize
+    pre-imports jax: the config update lands before first backend use)."""
+    if os.environ.get("W2B_FORCE_CPU"):
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 def train_main(argv=None) -> int:
+    _maybe_force_cpu()
     argv = sys.argv[1:] if argv is None else argv
     cfg = config_from_argv(argv)
     if cfg.train_file is None:
@@ -43,6 +55,7 @@ def train_main(argv=None) -> int:
 
 
 def accuracy_main(argv=None) -> int:
+    _maybe_force_cpu()
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
         print("Usage: compute-accuracy <FILE> <bitlevel> <threshold> "
