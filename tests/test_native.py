@@ -43,7 +43,8 @@ def test_encode_drops_oov(corpus_file):
 
 
 def test_long_word_truncation(tmp_path):
-    # 5000-char word: stored as first 4094 chars + last char (reference :152)
+    # 5000-char word: stored as exactly the first 4094 chars — the saturated
+    # write slot is overwritten by the terminating NUL (reference :150-155).
     w = b"a" * 4999 + b"z"
     p = tmp_path / "c.txt"
     p.write_bytes(w + b" next ")
@@ -51,7 +52,18 @@ def test_long_word_truncation(tmp_path):
     py = count_words(str(p), use_native=False)
     assert nat == py
     long_words = [k for k in py if len(k) > 4000]
-    assert long_words and long_words[0].endswith("z")
+    assert long_words == ["a" * 4094]
+
+
+def test_truncation_boundary(tmp_path):
+    # 4094 chars survive intact; 4095 chars lose the final char.
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"b" * 4094 + b" " + b"c" * 4094 + b"z" + b" ")
+    nat = count_words(str(p), use_native=True)
+    py = count_words(str(p), use_native=False)
+    assert nat == py
+    assert py.get("b" * 4094) == 1
+    assert py.get("c" * 4094) == 1  # the 4095-char word truncated to 4094
 
 
 def test_large_roundtrip(tmp_path):

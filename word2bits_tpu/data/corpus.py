@@ -32,11 +32,13 @@ MAX_STRING = 4096  # reference src/word2bits.cpp:29
 
 def _truncate_word(w: bytes) -> bytes:
     """Reference truncation quirk (src/word2bits.cpp:150-152): once the write
-    index hits MAX_STRING-1 it is decremented after each store, so the stored
-    word is the first MAX_STRING-2 chars followed by the *last* char read."""
+    index hits MAX_STRING-1 it is decremented after each store, so later chars
+    keep overwriting the saturated slot — and the terminating NUL
+    (``word[a] = 0``) lands on that same slot, erasing it.  The stored word is
+    therefore exactly the first MAX_STRING-2 chars."""
     if len(w) < MAX_STRING - 1:
         return w
-    return w[: MAX_STRING - 2] + w[-1:]
+    return w[: MAX_STRING - 2]
 
 
 def tokenize_bytes(data: bytes, drop_trailing: bool = True) -> Iterator[bytes]:

@@ -153,6 +153,10 @@ def evaluate_analogies(words: List[str], vectors: np.ndarray,
         uw = w.upper()
         if uw not in index:
             index[uw] = i
+    # Canonical row per vocab row: the first row sharing its uppercased word.
+    # The reference compares uppercased *strings* (compute-accuracy.c:178), so
+    # a prediction landing on a case-duplicate row of the answer is correct.
+    canon = np.asarray([index[w.upper()] for w in words], dtype=np.int64)
 
     Mq = np.asarray(quantize(jnp.asarray(M), bitlevel))
     norm = np.sqrt((Mq * Mq).sum(axis=1, keepdims=True))
@@ -185,7 +189,7 @@ def evaluate_analogies(words: List[str], vectors: np.ndarray,
         best, best_score = _analogy_scores(Mn_dev, jnp.asarray(abc_np), v_block)
         best = np.asarray(best)[:m]
         pos = np.asarray(best_score)[:m] > 0.0  # reference bestd starts at 0 (:115)
-        ok[ofs:ofs + m] = pos & (best == answers[ofs:ofs + m])
+        ok[ofs:ofs + m] = pos & (canon[best] == answers[ofs:ofs + m])
 
     seen = np.bincount(secs, minlength=S).astype(np.int64)
     correct = np.bincount(secs[ok], minlength=S).astype(np.int64)

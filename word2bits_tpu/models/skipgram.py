@@ -35,11 +35,14 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     """
     B, W, K, D = batch_size, hyper.window, hyper.negative, u.shape[1]
     bl, reg = hyper.bitlevel, hyper.reg
-    dt = u.dtype
+    # compute in f32 even when the backing store is bf16 (cfg.dtype), exactly
+    # as cbow_slab.slab_step: the LUT sigmoid bin index and log-loss must not
+    # run in bf16.
+    dt = jnp.float32
 
     slab_ids = jnp.maximum(inputs.slab_tokens, 0)
     centers = slab_ids[W:W + B]
-    u_slab = u[slab_ids]                                  # [B+2W, D]
+    u_slab = u[slab_ids].astype(dt)                       # [B+2W, D]
     q_slab = quantize(u_slab, bl)
 
     offsets, mask, valid = _context_masks(inputs, B, W)
@@ -51,7 +54,7 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     two_ar = 2.0 * alpha * reg
 
     # --- positive (center) target per pair ---
-    v_c = v[centers]
+    v_c = v[centers].astype(dt)
     q_vc = quantize(v_c, bl)
     f_pos = jnp.einsum("bod,bd->bo", q_in, q_vc)          # [B, 2W]
     g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * mf
@@ -74,7 +77,7 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             raise ValueError(f"batch {B} not divisible by neg tile {G}")
         T = B // G
         negs = inputs.neg_ids                             # [T, K]
-        v_n = v[negs]
+        v_n = v[negs].astype(dt)
         q_vn = quantize(v_n, bl)                          # [T, K, D]
         from word2bits_tpu.models.cbow_slab import from_tiles, to_tiles
         q_in4 = to_tiles(q_in, T, G).reshape(T, G * 2 * W, D)
@@ -102,11 +105,11 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             g2, q_vn, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).reshape(T, G, 2 * W, D)
         din = din + from_tiles(din_neg, B)
-        v = v.at[centers].add(dv_center)
-        v = v.at[negs.reshape(-1)].add(dv_neg.reshape(-1, D))
+        v = v.at[centers].add(dv_center.astype(v.dtype))
+        v = v.at[negs.reshape(-1)].add(dv_neg.reshape(-1, D).astype(v.dtype))
     else:
         negs = inputs.neg_ids                             # [B, K]
-        v_n = v[negs]
+        v_n = v[negs].astype(dt)
         q_vn = quantize(v_n, bl)                          # [B, K, D]
         f_neg = jnp.einsum("bod,bkd->bok", q_in, q_vn)
         skip = (negs != centers[:, None])                 # [B, K]
@@ -119,8 +122,8 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         visits = jnp.sum(m3, axis=1)                      # [B, K]
         dv_neg = dv_neg - two_ar * v_n * visits[..., None]
         din = din + jnp.einsum("bok,bkd->bod", g_neg, q_vn)
-        v = v.at[centers].add(dv_center)
-        v = v.at[negs.reshape(-1)].add(dv_neg.reshape(-1, D))
+        v = v.at[centers].add(dv_center.astype(v.dtype))
+        v = v.at[negs.reshape(-1)].add(dv_neg.reshape(-1, D).astype(v.dtype))
 
     # --- u updates grouped by slab position ---
     din = din * mf[..., None] - two_ar * u_in * mf[..., None]
@@ -128,7 +131,7 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         [jnp.pad(din[:, oi], ((W + o, W - o), (0, 0)))
          for oi, o in enumerate(offsets)])
     du_slab = jnp.sum(shifted, axis=0)
-    u = u.at[slab_ids].add(du_slab)
+    u = u.at[slab_ids].add(du_slab.astype(u.dtype))
     return u, v, loss
 
 

@@ -37,21 +37,18 @@ int stream_tokens(const char* path, Fn&& fn) {
   std::vector<char> buf(kBufSize);
   std::string word;
   word.reserve(kMaxWord);
-  bool truncating = false;
-  char last_trunc_char = 0;
   while (true) {
     size_t n = fread(buf.data(), 1, kBufSize, f);
     for (size_t i = 0; i < n; i++) {
       char c = buf[i];
       if (c == '\r') continue;  // reference :139
       if (c == ' ' || c == '\t' || c == '\n') {
-        if (!word.empty() || truncating) {
-          if (truncating) {
-            // reference :152 quirk: index sticks at MAX_STRING-1, so the
-            // stored word is the first 4094 chars + the last char read
-            word.back() = last_trunc_char;
-            truncating = false;
-          }
+        if (!word.empty()) {
+          // reference :152 quirk: the write index saturates at MAX_STRING-2
+          // (decremented back after each overflow store), and the final
+          // ``word[a] = 0`` lands on that same slot — so an over-long word
+          // keeps exactly its first MAX_STRING-2 (4094) chars.
+          if (word.size() > kMaxWord - 2) word.resize(kMaxWord - 2);
           fn(word);
           word.clear();
         }
@@ -60,12 +57,7 @@ int stream_tokens(const char* path, Fn&& fn) {
           fn(kSent);
         }
       } else {
-        if (word.size() >= kMaxWord - 1) {
-          truncating = true;
-          last_trunc_char = c;
-        } else {
-          word.push_back(c);
-        }
+        if (word.size() < kMaxWord - 1) word.push_back(c);
       }
     }
     if (n < kBufSize) break;

@@ -91,7 +91,15 @@ def count_words_range(path: str, start: int, end: int) -> Dict[str, int]:
         data = data[:cut]
 
     from collections import Counter
-    counts = Counter(split_tokens(data + b" "))
+    # Only a range trimmed at an interior boundary gets a synthetic separator
+    # (its last word IS terminated in the full file, by the byte at `end`+).
+    # The final host's range reaches EOF, where the reference ReadWord (and
+    # single-host count_words) DROP a trailing unterminated word
+    # (reference src/word2bits.cpp:277-279) — appending b' ' there would
+    # resurrect it and diverge from the single-host count.
+    if extra > 0:
+        data = data + b" "
+    counts = Counter(split_tokens(data))
     return {k.decode("utf-8", errors="surrogateescape"): v
             for k, v in counts.items()}
 

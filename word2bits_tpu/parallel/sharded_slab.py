@@ -36,7 +36,9 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     """Runs inside shard_map. Global inputs replicated; params vocab-sharded."""
     W, K, D = hyper.window, hyper.negative, u_local.shape[1]
     bl, reg = hyper.bitlevel, hyper.reg
-    dt = u_local.dtype
+    # compute in f32 even when the backing store is bf16, as
+    # cbow_slab.slab_step does (LUT bin index / log-loss must not run bf16)
+    dt = jnp.float32
     Vs = u_local.shape[0]
 
     nd = lax.axis_size(DATA_AXIS)
@@ -63,7 +65,7 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     slab_ids = jnp.maximum(my_tokens, 0)
     centers = slab_ids[W:W + B]
 
-    u_slab = _gather_rows(u_local, slab_ids, vocab_shard_size)
+    u_slab = _gather_rows(u_local, slab_ids, vocab_shard_size).astype(dt)
     q_slab = quantize(u_slab, bl)
 
     offsets, mask, valid = _context_masks(inputs, B, W)
@@ -81,7 +83,7 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     loss = -reg * jnp.sum(sq_sum * af)
     two_ar = 2.0 * alpha * reg
 
-    v_c = _gather_rows(v_local, centers, vocab_shard_size)
+    v_c = _gather_rows(v_local, centers, vocab_shard_size).astype(dt)
     q_vc = quantize(v_c, bl)
     f_pos = jnp.sum(cavg * q_vc, axis=-1)
     g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * af
@@ -90,7 +92,7 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     cavge = g_pos[:, None] * q_vc
     dv_center = g_pos[:, None] * cavg - two_ar * v_c * af[:, None]
 
-    v_n = _gather_rows(v_local, my_negs, vocab_shard_size)
+    v_n = _gather_rows(v_local, my_negs, vocab_shard_size).astype(dt)
     q_vn = quantize(v_n, bl)
     if neg_sharing:
         from word2bits_tpu.models.cbow_slab import from_tiles, to_tiles
@@ -156,7 +158,8 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     delta_v = lax.psum(delta_v, DATA_AXIS)
     delta_u = lax.psum(delta_u, DATA_AXIS)
     loss = lax.psum(loss, DATA_AXIS)
-    return u_local + delta_u, v_local + delta_v, loss
+    return (u_local + delta_u.astype(u_local.dtype),
+            v_local + delta_v.astype(v_local.dtype), loss)
 
 
 def make_sharded_slab_step(hyper: CBOWHyper, mesh: Mesh,
