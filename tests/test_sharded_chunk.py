@@ -1,0 +1,98 @@
+"""Sharded scan chunk == single-chip scan chunk on the 8-device CPU mesh.
+
+The chunk draws its negatives/shrinks on device from the same key with the
+same split structure as the single-chip chunk (parallel/chunk.py), so with
+identical keys the two paths must produce the same parameters and loss up to
+float summation order."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
+from word2bits_tpu.models.cbow_slab import make_slab_train_chunk
+from word2bits_tpu.models.skipgram import make_skipgram_train_chunk
+from word2bits_tpu.parallel.chunk import make_sharded_chunk
+from word2bits_tpu.parallel.mesh import make_mesh
+from word2bits_tpu.parallel.sharded import pad_vocab_rows, shard_params
+from word2bits_tpu.parallel.sharded_skipgram import _sharded_skipgram_body
+from word2bits_tpu.parallel.sharded_slab import _sharded_slab_body
+
+
+def _setup(seed, S, B, W, V, D):
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(-0.5, 0.5, (V, D)).astype(np.float32)
+    v = rng.uniform(-0.5, 0.5, (V, D)).astype(np.float32)
+    n = W + S * B + W
+    toks = rng.integers(1, V, n).astype(np.int32)
+    sents = np.sort(rng.integers(0, 6, n)).astype(np.int32)
+    toks[:2] = -1
+    sents[:2] = -1
+    counts = rng.integers(1, 50, V).astype(np.float64)
+    from word2bits_tpu.sampling.unigram import build_alias_table
+    table = build_alias_table(counts ** 0.75)
+    scalars = ChunkScalars(base0=jnp.int32(W), alpha0=jnp.float32(0.05),
+                           wca_start=jnp.float32(0.0),
+                           wca_per_step=jnp.float32(250.0),
+                           denom=jnp.float32(1e5))
+    return u, v, toks, sents, table, scalars
+
+
+@pytest.mark.parametrize("mesh_shape,shared,model", [
+    ({"data": 2, "vocab": 4}, 8, "cbow"),
+    ({"data": 4, "vocab": 2}, 16, "cbow"),
+    ({"data": 2, "vocab": 4}, 0, "cbow"),
+    ({"data": 2, "vocab": 4}, 8, "skipgram"),
+])
+def test_sharded_chunk_equals_single_chunk(mesh_shape, shared, model):
+    S, B, W, K, V, D = 3, 32, 3, 4, 45, 16
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.01)
+    u, v, toks, sents, table, scalars = _setup(0, S, B, W, V, D)
+    key = jax.random.PRNGKey(7)
+
+    if model == "skipgram":
+        single = make_skipgram_train_chunk(hyper, V, B, S, neg_sharing=shared,
+                                           donate=False)
+        body = _sharded_skipgram_body
+    else:
+        single = make_slab_train_chunk(hyper, V, B, S, neg_sharing=shared,
+                                       donate=False)
+        body = _sharded_slab_body
+    u1, v1, loss1 = single(jnp.asarray(u), jnp.asarray(v), jnp.asarray(toks),
+                           jnp.asarray(sents), table.prob, table.alias,
+                           scalars, key)
+
+    mesh = make_mesh(mesh_shape)
+    nv = mesh_shape["vocab"]
+    up, vp = pad_vocab_rows(u, nv), pad_vocab_rows(v, nv)
+    chunk = make_sharded_chunk(body, hyper, mesh, up.shape[0], V, B, S,
+                               neg_sharing=shared, donate=False)
+    ud, vd = shard_params(jnp.asarray(up), jnp.asarray(vp), mesh)
+    u2, v2, loss2 = chunk(ud, vd, jnp.asarray(toks), jnp.asarray(sents),
+                          table.prob, table.alias, scalars, key)
+
+    np.testing.assert_allclose(np.asarray(u2)[:V], np.asarray(u1), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(v2)[:V], np.asarray(v1), atol=3e-5)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_chunk_single_dispatch_per_S_steps():
+    """The trainer path must not host-sync inside a chunk: one chunk call
+    returns a device scalar, and S scan steps advance the LR schedule
+    exactly as S single steps would."""
+    S, B, W, K, V, D = 4, 16, 2, 3, 30, 8
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.0)
+    u, v, toks, sents, table, scalars = _setup(1, S, B, W, V, D)
+    mesh = make_mesh({"data": 2, "vocab": 4})
+    up, vp = pad_vocab_rows(u, 4), pad_vocab_rows(v, 4)
+    chunk = make_sharded_chunk(_sharded_slab_body, hyper, mesh, up.shape[0],
+                               V, B, S, neg_sharing=0, donate=False)
+    ud, vd = shard_params(jnp.asarray(up), jnp.asarray(vp), mesh)
+    u2, v2, loss = chunk(ud, vd, jnp.asarray(toks), jnp.asarray(sents),
+                         table.prob, table.alias, scalars,
+                         jax.random.PRNGKey(0))
+    assert isinstance(loss, jax.Array) and loss.shape == ()
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(u2)).all()

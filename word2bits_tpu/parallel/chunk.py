@@ -1,0 +1,105 @@
+"""Sharded scan-chunk factory: S synchronous sharded steps per jit call.
+
+The multi-chip analog of models/cbow_slab.make_slab_train_chunk, and the
+TPU-native equivalent of the reference's epoch worker loop
+(reference src/word2bits.cpp:521-536): one dispatch covers S steps of the
+(data, vocab)-sharded update with on-device negative/shrink randomness and
+the on-device linear LR schedule, so the host never syncs inside a chunk.
+Dispatch latency through the axon tunnel is ~10s of ms — a per-step host
+loop caps multi-chip throughput at ~100 steps/sec regardless of chip count,
+which is why this chunk exists (round-1 verdict item 3).
+
+Randomness is drawn inside shard_map from the replicated key with exactly
+the same split structure as the single-chip chunk (split(key, S); per step
+split into k_neg, k_win), so a sharded chunk and a single-chip chunk given
+the same key consume identical negatives/shrinks — the basis of the
+sharded-chunk == single-chip-chunk equivalence tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from word2bits_tpu.models.cbow import CBOWHyper
+from word2bits_tpu.parallel.mesh import DATA_AXIS, VOCAB_AXIS
+from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
+
+
+def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
+                       vocab_size_padded: int, vocab_size: int,
+                       batch_size: int, steps: int, neg_sharing: int = 0,
+                       donate: bool = True):
+    """jit(shard_map) chunk running `steps` sharded minibatch steps.
+
+    `body_fn` is one of the per-step sharded bodies
+    (parallel/sharded_slab._sharded_slab_body or
+    parallel/sharded_skipgram._sharded_skipgram_body), called inside the
+    scan with (u_local, v_local, slab_tokens, slab_sents, shrink, negs,
+    alpha, hyper, batch_size, neg_sharing, vocab_shard_size).
+
+    Chunk signature matches make_slab_train_chunk:
+      chunk(u_local, v_local, tokens, sent_ids, alias_prob, alias_alias,
+            scalars, key) -> (u_local, v_local, loss_sum)
+    with tokens/sent_ids/alias/scalars/key replicated and u, v sharded
+    P("vocab", None).  `vocab_size` (true, unpadded) bounds negative draws;
+    `vocab_size_padded` defines the shard layout.
+    """
+    nd = mesh.shape[DATA_AXIS]
+    nv = mesh.shape[VOCAB_AXIS]
+    B, W, K = batch_size, hyper.window, hyper.negative
+    if batch_size % nd:
+        raise ValueError(f"batch {batch_size} not divisible by data axis {nd}")
+    if neg_sharing:
+        if batch_size % neg_sharing:
+            raise ValueError("batch must be divisible by neg_sharing")
+        if neg_sharing % nd:
+            raise ValueError(
+                f"neg_sharing tile ({neg_sharing}) must be divisible by the "
+                f"data-axis size ({nd}) so every shard holds whole tile slices")
+    if vocab_size_padded % nv:
+        raise ValueError(f"vocab {vocab_size_padded} not divisible by {nv}")
+    vss = vocab_size_padded // nv
+    neg_rows = (batch_size // neg_sharing) if neg_sharing else batch_size
+
+    def chunk(u_local, v_local, tokens, sent_ids, alias_prob, alias_alias,
+              scalars, key):
+        table = AliasTable(prob=alias_prob, alias=alias_alias)
+        keys = jax.random.split(key, steps)
+
+        def body(carry, xs):
+            u_local, v_local, loss = carry
+            s, k = xs
+            k_neg, k_win = jax.random.split(k)
+            base = scalars.base0 + s * B
+            wca = scalars.wca_start + s.astype(jnp.float32) * scalars.wca_per_step
+            alpha = scalars.alpha0 * (1.0 - wca / scalars.denom)
+            alpha = jnp.maximum(alpha, scalars.alpha0 * 1e-4)
+            slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
+            slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
+            shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
+            negs = draw_negatives(k_neg, table, (neg_rows, K), vocab_size)
+            u_local, v_local, step_loss = body_fn(
+                u_local, v_local, slab_tokens, slab_sents, shrink, negs,
+                alpha, hyper, batch_size, neg_sharing, vss)
+            return (u_local, v_local, loss + step_loss), None
+
+        xs = (jnp.arange(steps, dtype=jnp.int32), keys)
+        (u_local, v_local, loss), _ = lax.scan(
+            body, (u_local, v_local, jnp.float32(0.0)), xs)
+        # per-step losses are already psum'd over "data" inside body_fn and
+        # are identical across vocab shards; the psum/nv proves replication
+        loss = lax.psum(loss, VOCAB_AXIS) / nv
+        return u_local, v_local, loss
+
+    pp = P(VOCAB_AXIS, None)
+    rep = P()
+    mapped = jax.shard_map(
+        chunk, mesh=mesh,
+        in_specs=(pp, pp, rep, rep, rep, rep, rep, rep),
+        out_specs=(pp, pp, rep),
+    )
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(mapped, donate_argnums=donate_argnums)

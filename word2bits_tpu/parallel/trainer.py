@@ -1,18 +1,23 @@
 """Sharded training driver: the train.py loop over a (data, vocab) mesh.
 
-Single-chip training scans S steps per jit call (models/cbow_slab.py); the
-sharded path instead runs the shard_map step (parallel/sharded_slab.py) per
-minibatch with host-side chunking of the randomness.  Used by train.train()
-when cfg.mesh_shape is set — e.g. {"data": 2, "vocab": 4} — and by the
-driver's dryrun.  On one host this exercises the full collective graph over
-however many local devices exist (8 virtual CPU devices in tests); on a
-multi-host slice parallel/multihost.initialize() extends the same mesh over
-every process's chips.
+Both the single-chip and multi-chip paths now scan S steps per jit call:
+single-chip via models/cbow_slab.make_slab_train_chunk, multi-chip via
+parallel/chunk.make_sharded_chunk wrapping the shard_map step bodies
+(parallel/sharded_slab.py, parallel/sharded_skipgram.py).  Negatives and
+window shrinks are drawn on device inside the chunk and the loss is fetched
+once per chunk, so dispatch latency (~10s of ms through the axon tunnel)
+amortizes over S steps instead of gating every step.
+
+Used by train.train() when cfg.mesh_shape is set — e.g.
+{"data": 2, "vocab": 4} — and by the driver's dryrun.  On one host this
+exercises the full collective graph over however many local devices exist
+(8 virtual CPU devices in tests); on a multi-host slice
+parallel/multihost.initialize() extends the same mesh over every process's
+chips.
 """
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import jax
@@ -21,16 +26,15 @@ import numpy as np
 
 from word2bits_tpu.config import Word2BitsConfig
 from word2bits_tpu.models.cbow import CBOWHyper
-from word2bits_tpu.models.cbow_slab import SlabInputs
+from word2bits_tpu.parallel.chunk import make_sharded_chunk
 from word2bits_tpu.parallel.mesh import VOCAB_AXIS, make_mesh
 from word2bits_tpu.parallel.sharded import pad_vocab_rows, shard_params
-from word2bits_tpu.parallel.sharded_skipgram import make_sharded_skipgram_step
-from word2bits_tpu.parallel.sharded_slab import make_sharded_slab_step
-from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
+from word2bits_tpu.parallel.sharded_skipgram import _sharded_skipgram_body
+from word2bits_tpu.parallel.sharded_slab import _sharded_slab_body
 
 
 class ShardedTrainer:
-    """Owns mesh, sharded params, and the per-step driver."""
+    """Owns mesh, sharded params, and the chunked step driver."""
 
     def __init__(self, cfg: Word2BitsConfig, vocab_size: int, u, v):
         self.cfg = cfg
@@ -42,40 +46,22 @@ class ShardedTrainer:
                           reg=cfg.reg)
         up = pad_vocab_rows(np.asarray(u), self.nv)
         vp = pad_vocab_rows(np.asarray(v), self.nv)
-        mk = (make_sharded_skipgram_step if cfg.model == "skipgram"
-              else make_sharded_slab_step)
-        self.step_fn = mk(hyper, self.mesh, up.shape[0], cfg.batch_size,
-                          neg_sharing=cfg.neg_sharing)
+        body = (_sharded_skipgram_body if cfg.model == "skipgram"
+                else _sharded_slab_body)
+        self.chunk_fn = make_sharded_chunk(
+            body, hyper, self.mesh, up.shape[0], vocab_size,
+            cfg.batch_size, cfg.steps_per_chunk,
+            neg_sharing=cfg.neg_sharing)
         self.u, self.v = shard_params(jnp.asarray(up), jnp.asarray(vp),
                                       self.mesh)
-        self.W = cfg.window
-        self.B = cfg.batch_size
-        self.K = cfg.negative
-        self.neg_rows = (cfg.batch_size // cfg.neg_sharing
-                         if cfg.neg_sharing else cfg.batch_size)
 
-    def run_steps(self, tokens: np.ndarray, sent_ids: np.ndarray, halo: int,
-                  n_steps: int, key, alphas) -> Tuple[jax.Array, float]:
-        """Run n_steps minibatches over host arrays. Returns (key, loss)."""
-        B, W = self.B, self.W
-        total = 0.0
-        table = self._table
-        for s in range(n_steps):
-            key, k_neg, k_win = jax.random.split(key, 3)
-            base = halo + s * B
-            slab_t = jnp.asarray(tokens[base - W: base + B + W])
-            slab_s = jnp.asarray(sent_ids[base - W: base + B + W])
-            shrink = jax.random.randint(k_win, (B,), 0, W, jnp.int32)
-            negs = draw_negatives(k_neg, table, (self.neg_rows, self.K),
-                                  self.V)
-            self.u, self.v, loss = self.step_fn(
-                self.u, self.v, slab_t, slab_s, shrink, negs,
-                jnp.float32(alphas[s]))
-            total += float(loss)
-        return key, total
-
-    def set_table(self, alias_table: AliasTable):
-        self._table = alias_table
+    def run_chunk(self, tokens_dev, sents_dev, alias_prob, alias_alias,
+                  scalars, key) -> jax.Array:
+        """One S-step sharded chunk; returns the chunk's loss sum (device)."""
+        self.u, self.v, loss = self.chunk_fn(
+            self.u, self.v, tokens_dev, sents_dev, alias_prob, alias_alias,
+            scalars, key)
+        return loss
 
     def params(self) -> Tuple[np.ndarray, np.ndarray]:
         """Unsharded, unpadded parameter copies."""

@@ -103,10 +103,10 @@ def train(cfg: Word2BitsConfig,
     sharded = None
     if cfg.mesh_shape:
         # multi-chip path: vocab-sharded params + data-parallel batch over a
-        # (data, vocab) mesh (parallel/sharded_slab.py)
+        # (data, vocab) mesh, scanning S steps per dispatch exactly like the
+        # single-chip chunk (parallel/chunk.py)
         from word2bits_tpu.parallel.trainer import ShardedTrainer
         sharded = ShardedTrainer(cfg, V, u, v)
-        sharded.set_table(table)
         chunk_fn = None
         u = v = None
     elif cfg.fused_tables and cfg.neg_sharing and cfg.model == "cbow":
@@ -187,22 +187,18 @@ def train(cfg: Word2BitsConfig,
                 key, sub = jax.random.split(key)
                 base0 = ep.halo + ci * S * B
                 chunk_steps = min(S, n_steps - ci * S)
+                scalars = ChunkScalars(
+                    base0=jnp.int32(base0),
+                    alpha0=jnp.float32(cfg.alpha),
+                    wca_start=jnp.float32(words_done),
+                    wca_per_step=jnp.float32(wca_per_step),
+                    denom=jnp.float32(denom),
+                )
                 if sharded is not None:
-                    alphas = np.maximum(
-                        cfg.alpha * (1 - (words_done + np.arange(S)
-                                          * wca_per_step) / denom),
-                        cfg.alpha * 1e-4)
-                    sub, loss_val = sharded.run_steps(
-                        ep.tokens, ep.sent_ids, base0, S, sub, alphas)
-                    loss = loss_val
+                    loss = sharded.run_chunk(tokens_dev, sents_dev,
+                                             table.prob, table.alias,
+                                             scalars, sub)
                 else:
-                    scalars = ChunkScalars(
-                        base0=jnp.int32(base0),
-                        alpha0=jnp.float32(cfg.alpha),
-                        wca_start=jnp.float32(words_done),
-                        wca_per_step=jnp.float32(wca_per_step),
-                        denom=jnp.float32(denom),
-                    )
                     u, v, loss = chunk_fn(u, v, tokens_dev, sents_dev,
                                           table.prob, table.alias, scalars, sub)
                 words_done += chunk_steps * wca_per_step
