@@ -55,3 +55,23 @@ def test_neg_sharing_validation():
     with pytest.raises(ValueError):
         Word2BitsConfig(batch_size=100, neg_sharing=64)
     Word2BitsConfig(batch_size=128, neg_sharing=64)
+
+
+def test_auto_lr_scaling():
+    """Batch-aware LR rule (docs/acceptance_notes.md measured sweep): the
+    synchronous-minibatch optimum at bitlevel 2 is ~3x the reference's
+    per-example-Hogwild alpha (reference src/word2bits.cpp:48); bitlevels
+    0 and 1 use alpha verbatim (fp32 diverges above 1x, 1-bit is LR-robust)."""
+    from word2bits_tpu.config import Word2BitsConfig, config_from_argv
+
+    assert Word2BitsConfig(bitlevel=2).effective_alpha == pytest.approx(0.15)
+    assert Word2BitsConfig(bitlevel=1).effective_alpha == pytest.approx(0.05)
+    assert Word2BitsConfig(bitlevel=0).effective_alpha == pytest.approx(0.05)
+    assert Word2BitsConfig(bitlevel=4).effective_alpha == pytest.approx(0.05)
+    # user-tuned alpha still scales in reference units
+    assert Word2BitsConfig(bitlevel=2, alpha=0.1).effective_alpha == pytest.approx(0.3)
+    # opt-out uses alpha verbatim
+    cfg = config_from_argv(["-bitlevel", "2", "-auto-lr", "0"])
+    assert not cfg.auto_lr and cfg.effective_alpha == pytest.approx(0.05)
+    cfg2 = config_from_argv(["-bitlevel", "2", "-alpha", "0.05"])
+    assert cfg2.effective_alpha == pytest.approx(0.15)

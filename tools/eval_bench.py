@@ -1,13 +1,22 @@
-"""Evaluator throughput: our batched-matmul analogy evaluator vs the
-reference compute-accuracy scalar scan, on the same vector file and the full
-19,544-question Google analogies set.
+"""Evaluator throughput + correctness cross-check: our batched-matmul analogy
+evaluator vs the reference compute-accuracy scalar scan, on the same vector
+file and the full 19,544-question Google analogies set.
 
 Constructs a 71k-word x 200d vector file whose vocabulary includes every
-question word (so both evaluators resolve every question and scan the full
-vocabulary per question, like a real text8 run).  Writes docs/eval_bench.md.
+question word AND whose vectors carry planted analogy structure (per-section
+offset vectors, v[b] ~= v[a] + t_section, plus noise), so accuracy is
+substantially nonzero and the cross-check genuinely exercises top-1 scanning,
+tie-breaking, exclusion masks, and per-section accounting — the round-1
+0.00%-vs-0.00% comparison was near-vacuous.  Conflicting assignments (words
+appearing in several sections/roles) and the noise term produce realistic
+errors, so per-section counts differ and must still agree evaluator-to-
+evaluator, at bitlevel 0 and re-quantized bitlevel 1.
+
+Writes docs/eval_bench.md.
 """
 
 import os
+import re
 import subprocess
 import sys
 import time
@@ -21,8 +30,45 @@ QUESTIONS = "/root/reference/data/google_analogies_test_set/questions-words.txt"
 V, D = 71_000, 200
 
 
+def planted_vectors(questions, rng):
+    """Assign each question word a vector with per-section linear structure:
+    the first time a pair (x, y) of a section is seen, v[y] = v[x] + t_sec
+    (+noise).  Words reused across sections keep their first assignment, so
+    later questions resolve only approximately — realistic nonzero accuracy."""
+    n_sections = len(questions.sections)
+    t_sec = rng.normal(0.0, 0.35, (n_sections, D)).astype(np.float32)
+    vec = {}
+
+    def base(w):
+        if w not in vec:
+            vec[w] = rng.normal(0.0, 1.0, D).astype(np.float32)
+        return vec[w]
+
+    for sec, a, b, c, d in questions.questions:
+        for x, y in ((a, b), (c, d)):
+            vx = base(x)
+            if y not in vec:
+                vec[y] = (vx + t_sec[sec]
+                          + rng.normal(0.0, 0.02, D)).astype(np.float32)
+    return vec
+
+
+def transcript_lines(text):
+    """The numeric lines both evaluators must agree on."""
+    keep = []
+    for ln in text.splitlines():
+        ln = ln.strip()
+        if ln.startswith("ACCURACY TOP1") or ln.startswith("Questions seen"):
+            keep.append(re.sub(r"\s+", " ", ln))
+        elif ln.startswith("Total accuracy"):
+            # normalize C's "-nan" vs our "nan" (never hit on the full set)
+            keep.append(re.sub(r"\s+", " ", ln.replace("-nan", "nan")))
+    return keep
+
+
 def main():
-    from word2bits_tpu.eval.analogy import evaluate_analogies, load_questions
+    from word2bits_tpu.eval.analogy import (evaluate_analogies, format_report,
+                                            load_questions)
     from word2bits_tpu.io.vectors import read_vectors, write_vectors
 
     questions = load_questions(QUESTIONS)
@@ -34,10 +80,14 @@ def main():
             if lw not in seen:
                 seen.add(lw)
                 qwords.append(lw)
+
+    rng = np.random.default_rng(0)
+    planted = planted_vectors(questions, rng)
     fillers = [f"filler{i}" for i in range(V - len(qwords))]
     words = qwords + fillers
-    rng = np.random.default_rng(0)
     vecs = rng.uniform(-0.5, 0.5, (V, D)).astype(np.float32)
+    for i, w in enumerate(qwords):
+        vecs[i] = planted[w.upper()]
 
     vec_path = "/tmp/evalbench_vectors.bin"
     write_vectors(vec_path, words, vecs, binary=True)
@@ -52,6 +102,7 @@ def main():
     res2 = evaluate_analogies(w2, m2, questions, bitlevel=0)
     ours_warm = time.perf_counter() - t0
     assert res.seen_questions == len(questions.questions), res.seen_questions
+    res_b1 = evaluate_analogies(w2, m2, questions, bitlevel=1)
 
     # reference binary
     exe = "/tmp/ref_compute_accuracy_bench"
@@ -65,31 +116,58 @@ def main():
                           timeout=36000)
     ref_total = time.perf_counter() - t0
     ref_out = proc.stdout.decode()
+    proc1 = subprocess.run([exe, vec_path, "1", "0"],
+                           stdin=open(QUESTIONS), capture_output=True,
+                           timeout=36000)
+    ref_out_b1 = proc1.stdout.decode()
 
-    # cross-check the total-accuracy line
-    import re
+    # full-transcript cross-check: every per-section line must match
+    ours_lines = transcript_lines(format_report(res))
+    ref_lines = transcript_lines(ref_out)
+    mismatches = [(o, r) for o, r in zip(ours_lines, ref_lines) if o != r]
+    ours_b1_lines = transcript_lines(format_report(res_b1))
+    ref_b1_lines = transcript_lines(ref_out_b1)
+    mismatches_b1 = [(o, r) for o, r in zip(ours_b1_lines, ref_b1_lines)
+                     if o != r]
+
     m = re.findall(r"Total accuracy: ([\d.]+) %", ref_out)
     ref_acc = float(m[-1]) if m else float("nan")
+    m1 = re.findall(r"Total accuracy: ([\d.]+) %", ref_out_b1)
+    ref_acc_b1 = float(m1[-1]) if m1 else float("nan")
 
+    import jax
+    backend = jax.default_backend()
+    agree0 = (len(mismatches) == 0 and len(ours_lines) == len(ref_lines))
+    agree1 = (len(mismatches_b1) == 0
+              and len(ours_b1_lines) == len(ref_b1_lines))
     lines = [
-        "# Analogy-evaluator throughput (19,544 questions, 71k x 200 vocab)",
+        "# Analogy-evaluator throughput + cross-check "
+        "(19,544 questions, 71k x 200 vocab, planted analogy structure)",
         "",
-        f"| evaluator | wall | accuracy |",
-        f"|---|---|---|",
+        "| evaluator | wall | total accuracy |",
+        "|---|---|---|",
         f"| reference compute-accuracy (C, 1 core) | {ref_total:.1f} s "
         f"| {ref_acc:.2f} % |",
-        f"| ours, cold (load+compile+eval, TPU) | {ours_total:.1f} s "
+        f"| ours, cold (load+compile+eval, {backend}) | {ours_total:.1f} s "
         f"| {res.total_accuracy:.2f} % |",
         f"| ours, warm | {ours_warm:.1f} s | {res2.total_accuracy:.2f} % |",
         "",
         f"Speedup: {ref_total / ours_warm:.0f}x warm, "
         f"{ref_total / ours_total:.0f}x cold.",
-        f"Accuracy agreement: {'YES' if abs(ref_acc - res.total_accuracy) < 0.05 else 'CHECK'}",
+        "",
+        f"Full-transcript agreement (all {len(ref_lines)} per-section "
+        f"ACCURACY/Total/coverage lines), bitlevel 0: "
+        f"{'EXACT' if agree0 else 'MISMATCH ' + str(mismatches[:4])}",
+        f"Re-quantized bitlevel 1 (ours {res_b1.total_accuracy:.2f} % vs "
+        f"reference {ref_acc_b1:.2f} %): "
+        f"{'EXACT' if agree1 else 'MISMATCH ' + str(mismatches_b1[:4])}",
     ]
     out = "\n".join(lines)
     print(out)
     with open(os.path.join(REPO, "docs", "eval_bench.md"), "w") as f:
         f.write(out + "\n")
+    if not (agree0 and agree1):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

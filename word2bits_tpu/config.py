@@ -74,6 +74,20 @@ class Word2BitsConfig:
     segment_tokens: int = 1 << 28
     seed: int = 1
     init: str = "reference"    # "reference" (exact LCG parity) or "uniform"
+    # Batch-aware LR auto-scaling. `alpha` is specified in the reference's
+    # per-example-Hogwild units (reference src/word2bits.cpp:48 default 0.05);
+    # our synchronous minibatch step has a different optimum at bitlevel 2,
+    # where quantization clamps update magnitudes and the summed in-batch
+    # gradients need ~3x the per-example LR to move the full-precision store
+    # across quantization bin boundaries at the reference's rate.  Measured
+    # sweep (docs/acceptance_notes.md): bitlevel 2 accuracy 43.6 @ 1x ->
+    # 50.2 @ 3x (>= reference 51.7-equivalent with bf16); bitlevel 1 is
+    # LR-robust (38.3 @ 1x vs 37.3 @ 2x, defaults already ahead of the
+    # reference); bitlevel 0 DIVERGES above 1x (nothing clamps fp32
+    # magnitudes); and the factor is batch-size-insensitive over B=64..512.
+    # auto_lr=True applies the measured factor so reference-default flags
+    # reach reference-parity accuracy; `-auto-lr 0` uses `alpha` verbatim.
+    auto_lr: bool = True
     # Backing-store dtype for u/v. "bfloat16" halves HBM (the 3.7M x 800
     # tables fit one chip) at the cost of rounded update accumulation —
     # compute stays float32 either way; validate convergence before use.
@@ -123,6 +137,19 @@ class Word2BitsConfig:
         if self.model not in ("cbow", "skipgram"):
             raise ValueError(f"model must be 'cbow' or 'skipgram', got {self.model!r}")
 
+    @property
+    def lr_scale(self) -> float:
+        """Measured synchronous-minibatch LR factor relative to the
+        reference's per-example Hogwild LR (see auto_lr field docs)."""
+        if not self.auto_lr:
+            return 1.0
+        return 3.0 if self.bitlevel == 2 else 1.0
+
+    @property
+    def effective_alpha(self) -> float:
+        """The starting LR actually used by the training step."""
+        return self.alpha * self.lr_scale
+
     def replace(self, **kwargs) -> "Word2BitsConfig":
         return dataclasses.replace(self, **kwargs)
 
@@ -157,6 +184,7 @@ REFERENCE_FLAGS = {
     "-packed": ("packed", lambda s: bool(int(s))),
     "-checkpoint-dir": ("checkpoint_dir", str),
     "-resume": ("resume", lambda s: bool(int(s))),
+    "-auto-lr": ("auto_lr", lambda s: bool(int(s))),
     "-profile-dir": ("profile_dir", str),
     # word2vec-style spelling: -cbow 1 == cbow, -cbow 0 == skipgram
     "-cbow": ("model", lambda s: "cbow" if int(s) else "skipgram"),

@@ -189,7 +189,7 @@ def train(cfg: Word2BitsConfig,
                 chunk_steps = min(S, n_steps - ci * S)
                 scalars = ChunkScalars(
                     base0=jnp.int32(base0),
-                    alpha0=jnp.float32(cfg.alpha),
+                    alpha0=jnp.float32(cfg.effective_alpha),
                     wca_start=jnp.float32(words_done),
                     wca_per_step=jnp.float32(wca_per_step),
                     denom=jnp.float32(denom),
@@ -210,8 +210,8 @@ def train(cfg: Word2BitsConfig,
                     profiling = False
                     _log(cfg, f"Wrote profiler trace to {cfg.profile_dir}")
                 if cfg.debug > 1:
-                    alpha_now = max(cfg.alpha * (1 - words_done / denom),
-                                    cfg.alpha * 1e-4)
+                    a0 = cfg.effective_alpha
+                    alpha_now = max(a0 * (1 - words_done / denom), a0 * 1e-4)
                     wps = words_done / max(time.perf_counter() - t_train0, 1e-9)
                     print(f"\rAlpha: {alpha_now:.6f}  "
                           f"Progress: {min(words_done / denom * 100, 100.0):.2f}%  "
