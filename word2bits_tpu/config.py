@@ -64,6 +64,12 @@ class Word2BitsConfig:
     # Model family. The reference trains only CBOW (SURVEY.md section 0);
     # skip-gram is an extension with the same quantization contract.
     model: str = "cbow"
+    # Route the shared-negative score/gradient phase through the fused
+    # Pallas kernel (kernels/score_pallas.py) instead of the XLA matmul
+    # path.  Requires neg_sharing > 0.  Measured on the v5e at the bench
+    # config — see ARCHITECTURE.md "Pallas score kernel" for the verdict;
+    # off by default.
+    use_pallas: bool = False
     # Full train-state checkpointing (extension: the reference can only
     # export vectors per epoch, not resume — SURVEY.md section 5).
     checkpoint_dir: Optional[str] = None
@@ -132,6 +138,12 @@ class Word2BitsConfig:
             raise ValueError(
                 f"neg_sharing ({self.neg_sharing}) must be 0 or divide "
                 f"batch_size ({self.batch_size})")
+        if self.use_pallas and not self.neg_sharing:
+            raise ValueError(
+                "use_pallas requires neg_sharing > 0 (the kernel fuses the "
+                "shared-negative tile phase; per-center mode has no tiles)")
+        if self.use_pallas and self.model != "cbow":
+            raise ValueError("use_pallas is implemented for the cbow model")
         if self.init not in ("reference", "uniform"):
             raise ValueError(f"init must be 'reference' or 'uniform', got {self.init!r}")
         if self.model not in ("cbow", "skipgram"):
@@ -185,6 +197,7 @@ REFERENCE_FLAGS = {
     "-checkpoint-dir": ("checkpoint_dir", str),
     "-resume": ("resume", lambda s: bool(int(s))),
     "-auto-lr": ("auto_lr", lambda s: bool(int(s))),
+    "-use-pallas": ("use_pallas", lambda s: bool(int(s))),
     "-profile-dir": ("profile_dir", str),
     # word2vec-style spelling: -cbow 1 == cbow, -cbow 0 == skipgram
     "-cbow": ("model", lambda s: "cbow" if int(s) else "skipgram"),

@@ -44,9 +44,12 @@ def deinterleave(table):
 
 
 def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
-                    batch_size: int, neg_sharing: int):
+                    batch_size: int, neg_sharing: int,
+                    use_pallas: bool = False):
     """One synchronous step on the fused (V, 2D) table. Shared negatives
     required (the fused layout exists for the optimized path).
+    use_pallas routes the negative score/gradient phase through the fused
+    Pallas kernel (kernels/score_pallas.py); same math, tested equal.
     Returns (table, loss)."""
     if not neg_sharing:
         raise ValueError("fused table step requires neg_sharing > 0")
@@ -94,25 +97,34 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     # shared negatives (strided tiles), v-half gathered from the fused table
     negs = inputs.neg_ids                                  # [T, K]
     v_n = table[negs][..., D:].astype(dt)                  # [T, K, D]
-    q_vn = quantize(v_n, bl)
     cavg3 = to_tiles(cavg, T, G)
     af3 = to_tiles(af, T, G)
-    f_neg = lax.dot_general(cavg3, q_vn, (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)
     centers3 = to_tiles(centers, T, G)
-    skip = negs[:, None, :] != centers3[:, :, None]
-    m3 = skip.astype(dt) * af3[:, :, None]
-    g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
-    vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
-    loss = loss + jnp.sum(
-        (jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq[:, None, :]) * m3)
-    cavge = cavge + from_tiles(lax.dot_general(
-        g_neg, q_vn, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32), B)
-    dv_neg = lax.dot_general(g_neg, cavg3, (((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)
-    visits = jnp.sum(m3, axis=1)
-    dv_neg = dv_neg - two_ar * v_n * visits[:, :, None]
+    if use_pallas:
+        from word2bits_tpu.kernels.score_pallas import quantized_scores_pallas
+        scalars = jnp.reshape(jnp.asarray(alpha, dt), (1, 1))
+        interp = jax.default_backend() not in ("tpu", "axon")
+        cavge_neg, dv_neg, nloss = quantized_scores_pallas(
+            cavg3, v_n, centers3, negs, af3, scalars, bl, float(reg), interp)
+        loss = loss + nloss
+        cavge = cavge + from_tiles(cavge_neg, B)
+    else:
+        q_vn = quantize(v_n, bl)
+        f_neg = lax.dot_general(cavg3, q_vn, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        skip = negs[:, None, :] != centers3[:, :, None]
+        m3 = skip.astype(dt) * af3[:, :, None]
+        g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
+        vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
+        loss = loss + jnp.sum(
+            (jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq[:, None, :]) * m3)
+        cavge = cavge + from_tiles(lax.dot_general(
+            g_neg, q_vn, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32), B)
+        dv_neg = lax.dot_general(g_neg, cavg3, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        visits = jnp.sum(m3, axis=1)
+        dv_neg = dv_neg - two_ar * v_n * visits[:, :, None]
 
     # u updates grouped by position (windowed sums)
     mc = mf * af[:, None]
@@ -140,7 +152,7 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
 
 def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                            steps: int, neg_sharing: int,
-                           donate: bool = True):
+                           donate: bool = True, use_pallas: bool = False):
     """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key)
     -> (table, loss_sum); table is the fused (V, 2D) array."""
     from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
@@ -167,7 +179,8 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
             inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
                                 shrink=shrink, neg_ids=negs)
             table, step_loss = fused_slab_step(table, inputs, alpha, hyper,
-                                               B, neg_sharing)
+                                               B, neg_sharing,
+                                               use_pallas=use_pallas)
             return (table, loss + step_loss), None
 
         xs = (jnp.arange(steps, dtype=jnp.int32), keys)

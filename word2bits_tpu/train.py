@@ -114,7 +114,8 @@ def train(cfg: Word2BitsConfig,
         from word2bits_tpu.models.cbow_fused import (
             deinterleave, interleave, make_fused_train_chunk)
         fused_fn = make_fused_train_chunk(hyper, V, B, S,
-                                          neg_sharing=cfg.neg_sharing)
+                                          neg_sharing=cfg.neg_sharing,
+                                          use_pallas=cfg.use_pallas)
 
         def chunk_fn(u_, v_, *args):
             # u_ carries the fused table; v_ is a zero-size sentinel
@@ -129,7 +130,8 @@ def train(cfg: Word2BitsConfig,
                                              neg_sharing=cfg.neg_sharing)
     else:
         chunk_fn = make_slab_train_chunk(hyper, V, B, S,
-                                         neg_sharing=cfg.neg_sharing)
+                                         neg_sharing=cfg.neg_sharing,
+                                         use_pallas=cfg.use_pallas)
 
     fused_mode = bool(sharded is None and cfg.fused_tables
                       and cfg.neg_sharing and cfg.model == "cbow")
