@@ -160,6 +160,38 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
     B, W, K = batch_size, hyper.window, hyper.negative
     neg_rows = batch_size // neg_sharing
 
+    def one_step(table, s, k, tokens, sent_ids, atab, scalars):
+        k_neg, k_win = jax.random.split(k)
+        base = scalars.base0 + s * B
+        wca = scalars.wca_start + s.astype(jnp.float32) * scalars.wca_per_step
+        alpha = scalars.alpha0 * (1.0 - wca / scalars.denom)
+        alpha = jnp.maximum(alpha, scalars.alpha0 * 1e-4)
+        slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
+        slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
+        shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
+        negs = draw_negatives(k_neg, atab, (neg_rows, K), vocab_size)
+        inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
+                            shrink=shrink, neg_ids=negs)
+        return fused_slab_step(table, inputs, alpha, hyper, B, neg_sharing,
+                               use_pallas=use_pallas)
+
+    if steps == 1:
+        # No-scan capacity path: lax.scan double-buffers the carried table
+        # (peak ~= 2x tables — the single-chip OOM at >=2.5M x 800d bf16);
+        # a plain jitted step with donation lets XLA alias the table buffer
+        # in place, so the full-Wikipedia 3.7M x 800d config fits one chip.
+        # Dispatch latency is amortized by a large batch_size and by the
+        # train loop never fetching loss mid-segment.
+        def chunk1(table, tokens, sent_ids, alias_prob, alias_alias,
+                   scalars, key):
+            atab = AliasTable(prob=alias_prob, alias=alias_alias)
+            # same key-split structure as the scan path (steps=1)
+            k = jax.random.split(key, 1)[0]
+            return one_step(table, jnp.int32(0), k, tokens, sent_ids,
+                            atab, scalars)
+
+        return jax.jit(chunk1, donate_argnums=(0,) if donate else ())
+
     def chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key):
         atab = AliasTable(prob=alias_prob, alias=alias_alias)
         keys = jax.random.split(key, steps)
@@ -167,20 +199,8 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
         def body(carry, xs):
             table, loss = carry
             s, k = xs
-            k_neg, k_win = jax.random.split(k)
-            base = scalars.base0 + s * B
-            wca = scalars.wca_start + s.astype(jnp.float32) * scalars.wca_per_step
-            alpha = scalars.alpha0 * (1.0 - wca / scalars.denom)
-            alpha = jnp.maximum(alpha, scalars.alpha0 * 1e-4)
-            slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
-            slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
-            shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
-            negs = draw_negatives(k_neg, atab, (neg_rows, K), vocab_size)
-            inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
-                                shrink=shrink, neg_ids=negs)
-            table, step_loss = fused_slab_step(table, inputs, alpha, hyper,
-                                               B, neg_sharing,
-                                               use_pallas=use_pallas)
+            table, step_loss = one_step(table, s, k, tokens, sent_ids,
+                                        atab, scalars)
             return (table, loss + step_loss), None
 
         xs = (jnp.arange(steps, dtype=jnp.int32), keys)

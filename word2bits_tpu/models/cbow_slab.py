@@ -255,6 +255,37 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
     B, W, K = batch_size, hyper.window, hyper.negative
     neg_rows = (batch_size // neg_sharing) if neg_sharing else batch_size
 
+    def one_step(u, v, s, k, tokens, sent_ids, table, scalars):
+        k_neg, k_win = jax.random.split(k)
+        base = scalars.base0 + s * B
+        wca = scalars.wca_start + s.astype(jnp.float32) * scalars.wca_per_step
+        alpha = scalars.alpha0 * (1.0 - wca / scalars.denom)
+        alpha = jnp.maximum(alpha, scalars.alpha0 * 1e-4)
+
+        slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
+        slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
+        shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
+        negs = draw_negatives(k_neg, table, (neg_rows, K), vocab_size)
+        inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
+                            shrink=shrink, neg_ids=negs)
+        return slab_step(u, v, inputs, alpha, hyper, B, neg_sharing,
+                         use_pallas=use_pallas, hot_rows=hot_rows)
+
+    if steps == 1:
+        # No-scan capacity path (see models/cbow_fused.py): donation aliases
+        # u/v in place instead of lax.scan's double-buffered carry, halving
+        # peak HBM for huge vocab tables.
+        def chunk1(u, v, tokens, sent_ids, alias_prob, alias_alias,
+                   scalars, key):
+            table = AliasTable(prob=alias_prob, alias=alias_alias)
+            # same key-split structure as the scan path (steps=1), so a
+            # config at steps_per_chunk=1 trains identically either way
+            k = jax.random.split(key, 1)[0]
+            return one_step(u, v, jnp.int32(0), k, tokens, sent_ids,
+                            table, scalars)
+
+        return jax.jit(chunk1, donate_argnums=(0, 1) if donate else ())
+
     def chunk(u, v, tokens, sent_ids, alias_prob, alias_alias, scalars, key):
         table = AliasTable(prob=alias_prob, alias=alias_alias)
         keys = jax.random.split(key, steps)
@@ -262,21 +293,8 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
         def body(carry, xs):
             u, v, loss = carry
             s, k = xs
-            k_neg, k_win = jax.random.split(k)
-            base = scalars.base0 + s * B
-            wca = scalars.wca_start + s.astype(jnp.float32) * scalars.wca_per_step
-            alpha = scalars.alpha0 * (1.0 - wca / scalars.denom)
-            alpha = jnp.maximum(alpha, scalars.alpha0 * 1e-4)
-
-            slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
-            slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
-            shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
-            negs = draw_negatives(k_neg, table, (neg_rows, K), vocab_size)
-            inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
-                                shrink=shrink, neg_ids=negs)
-            u, v, step_loss = slab_step(u, v, inputs, alpha, hyper, B,
-                                        neg_sharing, use_pallas=use_pallas,
-                                        hot_rows=hot_rows)
+            u, v, step_loss = one_step(u, v, s, k, tokens, sent_ids,
+                                       table, scalars)
             return (u, v, loss + step_loss), None
 
         xs = (jnp.arange(steps, dtype=jnp.int32), keys)

@@ -171,7 +171,12 @@ def train(cfg: Word2BitsConfig,
         # per-epoch derived stream: fresh subsampling randomness each epoch,
         # reproducible after resume
         epoch_rng = np.random.default_rng([cfg.seed, epoch])
+        # loss accumulates ON DEVICE; the host fetches it only when printing
+        # progress (time-gated) or at epoch end — per-chunk float(loss) would
+        # force a sync every dispatch, untenable at steps_per_chunk=1
+        loss_acc = jnp.float32(0.0)
         epoch_loss = 0.0
+        t_print = 0.0
         t0 = time.perf_counter()
         for ep in iter_epoch_segments(encoded, vocab.counts, cfg.sample,
                                       train_words, W, epoch_rng,
@@ -204,14 +209,16 @@ def train(cfg: Word2BitsConfig,
                     u, v, loss = chunk_fn(u, v, tokens_dev, sents_dev,
                                           table.prob, table.alias, scalars, sub)
                 words_done += chunk_steps * wca_per_step
-                epoch_loss += float(loss)
+                loss_acc = loss_acc + loss
                 total_steps += S
                 if profiling:
                     # trace covers exactly one chunk (compile + execute)
                     jax.profiler.stop_trace()
                     profiling = False
                     _log(cfg, f"Wrote profiler trace to {cfg.profile_dir}")
-                if cfg.debug > 1:
+                if cfg.debug > 1 and time.perf_counter() - t_print > 0.5:
+                    t_print = time.perf_counter()
+                    epoch_loss = float(loss_acc)  # host fetch = device sync
                     a0 = cfg.effective_alpha
                     alpha_now = max(a0 * (1 - words_done / denom), a0 * 1e-4)
                     wps = words_done / max(time.perf_counter() - t_train0, 1e-9)
@@ -231,6 +238,7 @@ def train(cfg: Word2BitsConfig,
             words_done = (epoch + 1) * float(train_words)
         if cfg.debug > 1:
             print()
+        epoch_loss = float(loss_acc)
         _log(cfg, f"Epoch Loss: {epoch_loss:.6f}")
         epoch_losses.append(epoch_loss)
 
