@@ -69,3 +69,48 @@ def test_sorted_matches_baseline():
                              jnp.asarray(rows))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dedup_block_step_equivalence():
+    """slab_step with dedup_block produces the same tables as the serialized
+    scatter path (f32, exact modulo float summation order)."""
+    import jax.numpy as jnp
+
+    from word2bits_tpu.models.cbow import CBOWHyper
+    from word2bits_tpu.models.cbow_slab import slab_step
+    from tests.test_cbow_slab import _setup
+
+    B, W, K = 32, 3, 4
+    u, v, inputs = _setup(B=B, W=W, K=K)
+    hyper = CBOWHyper(bitlevel=1, size=16, window=W, negative=K, reg=0.01)
+    alpha = jnp.float32(0.05)
+    u1, v1, l1 = slab_step(jnp.asarray(u), jnp.asarray(v), inputs, alpha,
+                           hyper, B, neg_sharing=0, dedup_block=0)
+    u2, v2, l2 = slab_step(jnp.asarray(u), jnp.asarray(v), inputs, alpha,
+                           hyper, B, neg_sharing=0, dedup_block=64)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_dedup_block_cli_train(tmp_path):
+    """-dedup-block reaches both chunk builders end-to-end."""
+    from word2bits_tpu.config import config_from_argv
+    from word2bits_tpu.train import train
+
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(30)]
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("\n".join(
+        " ".join(words[rng.integers(0, 30)] for _ in range(12))
+        for _ in range(300)) + "\n")
+    for extra in (["-neg-sharing", "8", "-fused-tables", "1"], []):
+        out = tmp_path / f"v{len(extra)}.bin"
+        cfg = config_from_argv([
+            "-train", str(corpus), "-output", str(out), "-binary", "1",
+            "-size", "16", "-iter", "1", "-min-count", "1",
+            "-batch-size", "64", "-dedup-block", "128", "-debug", "0"]
+            + extra)
+        assert cfg.dedup_block == 128
+        res = train(cfg)
+        assert out.exists() and res.steps > 0

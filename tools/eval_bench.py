@@ -67,6 +67,9 @@ def transcript_lines(text):
 
 
 def main():
+    if "--cpu" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from word2bits_tpu.eval.analogy import (evaluate_analogies, format_report,
                                             load_questions)
     from word2bits_tpu.io.vectors import read_vectors, write_vectors

@@ -70,6 +70,13 @@ class Word2BitsConfig:
     # config — see ARCHITECTURE.md "Pallas score kernel" for the verdict;
     # off by default.
     use_pallas: bool = False
+    # Route parameter scatters through ops.scatter.scatter_add_dedup with
+    # this block size (0 = off): duplicate update rows are combined on the
+    # MXU per block and each block is scattered with unique indices,
+    # sidestepping XLA's serialized duplicate-safe row loop.  Same sums as
+    # the baseline modulo float ordering.  Measured on the v5e — see
+    # ARCHITECTURE.md scatter section for when it wins.
+    dedup_block: int = 0
     # Full train-state checkpointing (extension: the reference can only
     # export vectors per epoch, not resume — SURVEY.md section 5).
     checkpoint_dir: Optional[str] = None
@@ -198,6 +205,7 @@ REFERENCE_FLAGS = {
     "-resume": ("resume", lambda s: bool(int(s))),
     "-auto-lr": ("auto_lr", lambda s: bool(int(s))),
     "-use-pallas": ("use_pallas", lambda s: bool(int(s))),
+    "-dedup-block": ("dedup_block", int),
     "-profile-dir": ("profile_dir", str),
     # word2vec-style spelling: -cbow 1 == cbow, -cbow 0 == skipgram
     "-cbow": ("model", lambda s: "cbow" if int(s) else "skipgram"),

@@ -45,7 +45,7 @@ def deinterleave(table):
 
 def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                     batch_size: int, neg_sharing: int,
-                    use_pallas: bool = False):
+                    use_pallas: bool = False, dedup_block: int = 0):
     """One synchronous step on the fused (V, 2D) table. Shared negatives
     required (the fused layout exists for the optimized path).
     use_pallas routes the negative score/gradient phase through the fused
@@ -141,18 +141,28 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     dv_slab = jnp.zeros((B + 2 * W, D), dt)
     dv_slab = lax.dynamic_update_slice(dv_slab, dv_center, (W, 0))
     fused_rows = jnp.concatenate([du_slab, dv_slab], axis=1)  # [B+2W, 2D]
-    table = table.at[slab_ids].add(fused_rows.astype(table.dtype))
+    if dedup_block:
+        from word2bits_tpu.ops.scatter import scatter_add_dedup
+
+        def scat(tab, ids, rows):
+            return scatter_add_dedup(tab, ids, rows.astype(tab.dtype),
+                                     dedup_block)
+    else:
+        def scat(tab, ids, rows):
+            return tab.at[ids].add(rows.astype(tab.dtype))
+    table = scat(table, slab_ids, fused_rows)
     # ... plus the negative-row scatter (u-half zero)
     neg_rows = jnp.concatenate(
         [jnp.zeros(dv_neg.reshape(-1, D).shape, dt), dv_neg.reshape(-1, D)],
         axis=1)
-    table = table.at[negs.reshape(-1)].add(neg_rows.astype(table.dtype))
+    table = scat(table, negs.reshape(-1), neg_rows)
     return table, loss
 
 
 def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                            steps: int, neg_sharing: int,
-                           donate: bool = True, use_pallas: bool = False):
+                           donate: bool = True, use_pallas: bool = False,
+                           dedup_block: int = 0):
     """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key)
     -> (table, loss_sum); table is the fused (V, 2D) array."""
     from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
@@ -173,7 +183,8 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
         inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
                             shrink=shrink, neg_ids=negs)
         return fused_slab_step(table, inputs, alpha, hyper, B, neg_sharing,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas,
+                               dedup_block=dedup_block)
 
     if steps == 1:
         # No-scan capacity path: lax.scan double-buffers the carried table

@@ -109,17 +109,34 @@ def _context_masks(inputs: SlabInputs, B: int, W: int):
 
 def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
               batch_size: int, neg_sharing: int = 0,
-              use_pallas: bool = False, hot_rows: int = 0):
+              use_pallas: bool = False, hot_rows: int = 0,
+              dedup_block: int = 0):
     """One synchronous step over B consecutive centers. Returns (u, v, loss).
 
     use_pallas=True routes the shared-negative phase through the fused
     Pallas kernel (kernels/score_pallas.py: quantize -> sigma-dot -> gradient
     matmuls in one VMEM-resident pass per tile); requires neg_sharing > 0.
+    dedup_block>0 routes every parameter scatter through
+    ops.scatter.scatter_add_dedup (MXU duplicate-combining + unique-index
+    scatter) — the lever against XLA's serialized duplicate-row loop,
+    biggest in per-center mode where B*(K+1) update rows are duplicate-heavy.
     """
     B, W, K, D = batch_size, hyper.window, hyper.negative, u.shape[1]
     bl, reg = hyper.bitlevel, hyper.reg
     # compute in f32 even when the backing store is bf16 (cfg.dtype)
     dt = jnp.float32
+
+    if dedup_block:
+        from word2bits_tpu.ops.scatter import scatter_add_dedup
+
+        def scat(tab, ids, rows):
+            # cast first (like the baseline) so the combine matmul runs at
+            # table precision (bf16 MXU rate) with f32 accumulation
+            return scatter_add_dedup(tab, ids, rows.astype(tab.dtype),
+                                     dedup_block)
+    else:
+        def scat(tab, ids, rows):
+            return scatter_add_hot(tab, ids, rows, hot_rows)
 
     slab_ids = jnp.maximum(inputs.slab_tokens, 0)          # [B+2W]
     centers = slab_ids[W:W + B]
@@ -173,9 +190,8 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             cavg3, v_n, centers3, negs, af3, scalars, bl, float(reg), interp)
         loss = loss + nloss
         cavge = cavge + from_tiles(cavge_neg, B)
-        v = scatter_add_hot(
-            v, jnp.concatenate([centers, negs.reshape(-1)]),
-            jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]), hot_rows)
+        v = scat(v, jnp.concatenate([centers, negs.reshape(-1)]),
+                 jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]))
     elif neg_sharing and neg_sharing > 0:
         G = neg_sharing
         if B % G:
@@ -207,9 +223,8 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             preferred_element_type=jnp.float32)            # [T, K, D]
         visits = jnp.sum(m3, axis=1)                       # [T, K]
         dv_neg = dv_neg - two_ar * v_n * visits[:, :, None]
-        v = scatter_add_hot(
-            v, jnp.concatenate([centers, negs.reshape(-1)]),
-            jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]), hot_rows)
+        v = scat(v, jnp.concatenate([centers, negs.reshape(-1)]),
+                 jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]))
     else:
         negs = inputs.neg_ids                              # [B, K]
         v_n = v[negs].astype(dt)                           # [B, K, D]
@@ -222,9 +237,8 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         loss = loss + jnp.sum((jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq) * m2)
         cavge = cavge + jnp.einsum("bk,bkd->bd", g_neg, q_vn)
         dv_neg = g_neg[..., None] * cavg[:, None, :] - two_ar * v_n * m2[..., None]
-        v = scatter_add_hot(
-            v, jnp.concatenate([centers, negs.reshape(-1)]),
-            jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]), hot_rows)
+        v = scat(v, jnp.concatenate([centers, negs.reshape(-1)]),
+                 jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]))
 
     # --- u updates grouped by slab position (one scatter of B+2W rows).
     # Stacked zero-pads + one sum instead of a 2W-long dynamic-update-slice
@@ -238,7 +252,7 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         [jnp.pad(mc[:, oi], (W + o, W - o)) for oi, o in enumerate(offsets)]),
         axis=0)                                            # [B+2W]
     du_slab = du_slab - two_ar * u_slab * cnt[:, None]
-    u = scatter_add_hot(u, slab_ids, du_slab, hot_rows)
+    u = scat(u, slab_ids, du_slab)
 
     return u, v, loss
 
@@ -246,7 +260,7 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
 def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                           steps: int, neg_sharing: int = 0,
                           donate: bool = True, use_pallas: bool = False,
-                          hot_rows: int = 0):
+                          hot_rows: int = 0, dedup_block: int = 0):
     """Drop-in replacement for make_train_chunk using the slab formulation.
     Same signature: chunk(u, v, tokens, sent_ids, alias_prob, alias_alias,
     scalars, key) -> (u, v, loss_sum)."""
@@ -269,7 +283,8 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
         inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
                             shrink=shrink, neg_ids=negs)
         return slab_step(u, v, inputs, alpha, hyper, B, neg_sharing,
-                         use_pallas=use_pallas, hot_rows=hot_rows)
+                         use_pallas=use_pallas, hot_rows=hot_rows,
+                         dedup_block=dedup_block)
 
     if steps == 1:
         # No-scan capacity path (see models/cbow_fused.py): donation aliases

@@ -115,7 +115,8 @@ def train(cfg: Word2BitsConfig,
             deinterleave, interleave, make_fused_train_chunk)
         fused_fn = make_fused_train_chunk(hyper, V, B, S,
                                           neg_sharing=cfg.neg_sharing,
-                                          use_pallas=cfg.use_pallas)
+                                          use_pallas=cfg.use_pallas,
+                                          dedup_block=cfg.dedup_block)
 
         def chunk_fn(u_, v_, *args):
             # u_ carries the fused table; v_ is a zero-size sentinel
@@ -131,7 +132,8 @@ def train(cfg: Word2BitsConfig,
     else:
         chunk_fn = make_slab_train_chunk(hyper, V, B, S,
                                          neg_sharing=cfg.neg_sharing,
-                                         use_pallas=cfg.use_pallas)
+                                         use_pallas=cfg.use_pallas,
+                                         dedup_block=cfg.dedup_block)
 
     fused_mode = bool(sharded is None and cfg.fused_tables
                       and cfg.neg_sharing and cfg.model == "cbow")
