@@ -1,0 +1,89 @@
+"""Single-chip capacity probe: compile + step the full-Wikipedia config
+(3.7M vocab x 800d, reference README.md:39) on one v5e chip.
+
+Uses the no-scan per-step path (steps_per_chunk=1, donated buffers) that
+avoids lax.scan's double-buffered carry — the fix for the round-1 OOM at
+>=2.5M x 800d bf16 (VERDICT item 5).  Synthetic zipf tokens; measures
+words/sec over a few pipelined steps, host-fetch sync only.
+
+Usage: python tools/capacity_probe.py [V] [D] [B] [--cpu] [--f32]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import jax
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
+    from word2bits_tpu.models.cbow_fused import make_fused_train_chunk
+    from word2bits_tpu.sampling.unigram import build_alias_table
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    V = int(args[0]) if len(args) > 0 else 3_700_000
+    D = int(args[1]) if len(args) > 1 else 800
+    B = int(args[2]) if len(args) > 2 else 16_384
+    W, K, G = 8, 24, 64
+    dtype = jnp.dtype("float32" if "--f32" in sys.argv else "bfloat16")
+
+    n_tokens = 4 * B + 2 * W + 64
+    rng = np.random.default_rng(0)
+    ids = np.minimum(rng.zipf(1.3, size=n_tokens) - 1, V - 1).astype(np.int32)
+    tokens = jnp.asarray(ids)
+    sents = jnp.asarray((np.arange(n_tokens) // 1000).astype(np.int32))
+    counts = np.maximum(rng.zipf(1.3, size=V).astype(np.float64), 1.0)
+    atab = build_alias_table(counts ** 0.75)
+
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.0)
+    gb = V * 2 * D * dtype.itemsize / 1e9
+    print(f"table: {V} x {2*D} {dtype.name} = {gb:.1f} GB",
+          file=sys.stderr, flush=True)
+    table = jnp.zeros((V, 2 * D), dtype)  # init_params' LCG is too slow at 3.7M
+    chunk1 = make_fused_train_chunk(hyper, V, B, steps=1, neg_sharing=G)
+
+    scalars = ChunkScalars(base0=jnp.int32(W), alpha0=jnp.float32(0.05),
+                           wca_start=jnp.float32(0.0),
+                           wca_per_step=jnp.float32(B),
+                           denom=jnp.float32(1e12))
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    key, sub = jax.random.split(key)
+    table, loss = chunk1(table, tokens, sents, atab.prob, atab.alias,
+                         scalars, sub)
+    float(loss)
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first step: {compile_s:.1f}s", file=sys.stderr, flush=True)
+
+    steps = 0
+    t0 = time.perf_counter()
+    while True:
+        for _ in range(4):
+            key, sub = jax.random.split(key)
+            table, loss = chunk1(table, tokens, sents, atab.prob, atab.alias,
+                                 scalars, sub)
+            steps += 1
+        float(loss)
+        if time.perf_counter() - t0 > 10.0:
+            break
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "V": V, "D": D, "B": B, "dtype": dtype.name,
+        "table_gb": round(gb, 2),
+        "compile_s": round(compile_s, 1),
+        "ms_per_step": round(dt / steps * 1e3, 1),
+        "words_per_sec": round(steps * B / dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Time training-chunk variants on the real chip in ONE process.
+
+Decides the round's perf questions with measurements:
+  * does -dedup-block beat XLA's serialized scatter (fused bench config,
+    and the per-center exact mode where duplicate rows are 5x heavier)?
+  * does -use-pallas (fused score kernel) win at the bench config?
+
+Variants (select by name on argv; default all):
+  fused           bench-config baseline (bf16 fused tables, B=8192/G=64)
+  fused-dedup512 / -dedup1024 / -dedup2048
+  fused-pallas
+  percenter       exact-reference-semantics mode (neg_sharing=0, B=2048)
+  percenter-dedup1024 / -dedup2048
+
+Sync via host fetch only (CLAUDE.md: block_until_ready lies on axon).
+Prints one JSON line per variant: {"variant":..., "us_per_step":...,
+"words_per_sec":...}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (reuses _prepare + CFG)
+
+SECONDS = 8.0
+
+
+def main():
+    import jax
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from word2bits_tpu.data.pipeline import build_epoch_arrays
+    from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
+    from word2bits_tpu.models.cbow_fused import (interleave,
+                                                 make_fused_train_chunk)
+    from word2bits_tpu.models.cbow_slab import make_slab_train_chunk
+    from word2bits_tpu.models.init import init_params
+    from word2bits_tpu.sampling.unigram import build_alias_table
+
+    CFG = bench.CFG
+    encoded, counts, train_words = bench._prepare()
+    V = len(counts)
+    W = CFG["window"]
+    hyper = CBOWHyper(bitlevel=CFG["bitlevel"], size=CFG["size"], window=W,
+                      negative=CFG["negative"], reg=0.0)
+    dtype = jnp.dtype(CFG["dtype"])
+    u0, v0 = init_params(V, CFG["size"], init="uniform", seed=0, dtype=dtype)
+    atab = build_alias_table(np.maximum(counts, 1) ** 0.75)
+
+    S = CFG["steps_per_chunk"]
+    capacity = ((len(encoded) + S * max(CFG["batch_size"], 2048) + 8 + 1023)
+                // 1024) * 1024
+    ep = build_epoch_arrays(encoded, counts, CFG["sample"], train_words, W,
+                            np.random.default_rng(0), capacity=capacity)
+    tokens = jnp.asarray(ep.tokens)
+    sents = jnp.asarray(ep.sent_ids)
+    n_centers = max(ep.n_tokens, 1)
+    denom = 5.0 * train_words + 1.0
+
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+
+    def variants():
+        B, G = CFG["batch_size"], CFG["neg_sharing"]
+        yield "fused", B, dict(neg_sharing=G), "fused"
+        for M in (512, 1024, 2048):
+            yield (f"fused-dedup{M}", B,
+                   dict(neg_sharing=G, dedup_block=M), "fused")
+        yield "fused-pallas", B, dict(neg_sharing=G, use_pallas=True), "fused"
+        Bp = 2048
+        yield "percenter", Bp, dict(neg_sharing=0), "slab"
+        for M in (1024, 2048):
+            yield (f"percenter-dedup{M}", Bp,
+                   dict(neg_sharing=0, dedup_block=M), "slab")
+
+    results = {}
+    for name, B, kw, fam in variants():
+        if wanted and name not in wanted:
+            continue
+        words_per_step = B * train_words / n_centers
+        max_chunks = max(1, n_centers // (S * B))
+
+        def scalars(ci):
+            return ChunkScalars(
+                base0=jnp.int32(ep.halo + (ci % max_chunks) * S * B),
+                alpha0=jnp.float32(CFG["alpha"]),
+                wca_start=jnp.float32(0.0),
+                wca_per_step=jnp.float32(words_per_step),
+                denom=jnp.float32(denom))
+
+        try:
+            if fam == "fused":
+                fn = make_fused_train_chunk(hyper, V, B, S, **kw)
+                params = (interleave(u0, v0),)
+            else:
+                fn = make_slab_train_chunk(hyper, V, B, S, **kw)
+                params = (u0, v0)
+
+            key = jax.random.PRNGKey(0)
+            t0 = time.perf_counter()
+            key, sub = jax.random.split(key)
+            out = fn(*params, tokens, sents, atab.prob, atab.alias,
+                     scalars(0), sub)
+            params, loss = out[:-1], out[-1]
+            float(loss)
+            compile_s = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            chunks = 0
+            while True:
+                for _ in range(8):
+                    key, sub = jax.random.split(key)
+                    out = fn(*params, tokens, sents, atab.prob, atab.alias,
+                             scalars(chunks), sub)
+                    params, loss = out[:-1], out[-1]
+                    chunks += 1
+                float(loss)
+                if time.perf_counter() - t0 > SECONDS:
+                    break
+            dt = time.perf_counter() - t0
+            us_per_step = dt / (chunks * S) * 1e6
+            wps = chunks * S * words_per_step / dt
+            results[name] = dict(us_per_step=round(us_per_step, 1),
+                                 words_per_sec=round(wps, 1),
+                                 compile_s=round(compile_s, 1))
+        except Exception as e:  # keep going: one variant OOM != lost session
+            results[name] = dict(error=f"{type(e).__name__}: {e}"[:300])
+        print(json.dumps({"variant": name, **results[name]}), flush=True)
+        # fresh param buffers for the next variant (donation consumed ours)
+        u0, v0 = init_params(V, CFG["size"], init="uniform", seed=0,
+                             dtype=dtype)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,8 @@ from word2bits_tpu.ops.sigmoid import sigmoid_exact, sigmoid_lut
 
 
 def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
-                       batch_size: int, neg_sharing: int = 0):
+                       batch_size: int, neg_sharing: int = 0,
+                       dedup_block: int = 0):
     """One synchronous skip-gram step over B consecutive centers.
 
     Every (center b, offset o) pair trains input row u[token[b+o]] against
@@ -39,6 +40,16 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     # as cbow_slab.slab_step: the LUT sigmoid bin index and log-loss must not
     # run in bf16.
     dt = jnp.float32
+
+    if dedup_block:
+        from word2bits_tpu.ops.scatter import scatter_add_dedup
+
+        def scat(tab, ids, rows):
+            return scatter_add_dedup(tab, ids, rows.astype(tab.dtype),
+                                     dedup_block)
+    else:
+        def scat(tab, ids, rows):
+            return tab.at[ids].add(rows.astype(tab.dtype))
 
     slab_ids = jnp.maximum(inputs.slab_tokens, 0)
     centers = slab_ids[W:W + B]
@@ -105,8 +116,8 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             g2, q_vn, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).reshape(T, G, 2 * W, D)
         din = din + from_tiles(din_neg, B)
-        v = v.at[centers].add(dv_center.astype(v.dtype))
-        v = v.at[negs.reshape(-1)].add(dv_neg.reshape(-1, D).astype(v.dtype))
+        v = scat(v, centers, dv_center)
+        v = scat(v, negs.reshape(-1), dv_neg.reshape(-1, D))
     else:
         negs = inputs.neg_ids                             # [B, K]
         v_n = v[negs].astype(dt)
@@ -122,8 +133,8 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         visits = jnp.sum(m3, axis=1)                      # [B, K]
         dv_neg = dv_neg - two_ar * v_n * visits[..., None]
         din = din + jnp.einsum("bok,bkd->bod", g_neg, q_vn)
-        v = v.at[centers].add(dv_center.astype(v.dtype))
-        v = v.at[negs.reshape(-1)].add(dv_neg.reshape(-1, D).astype(v.dtype))
+        v = scat(v, centers, dv_center)
+        v = scat(v, negs.reshape(-1), dv_neg.reshape(-1, D))
 
     # --- u updates grouped by slab position ---
     din = din * mf[..., None] - two_ar * u_in * mf[..., None]
@@ -131,18 +142,45 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         [jnp.pad(din[:, oi], ((W + o, W - o), (0, 0)))
          for oi, o in enumerate(offsets)])
     du_slab = jnp.sum(shifted, axis=0)
-    u = u.at[slab_ids].add(du_slab.astype(u.dtype))
+    u = scat(u, slab_ids, du_slab)
     return u, v, loss
 
 
 def make_skipgram_train_chunk(hyper: CBOWHyper, vocab_size: int,
                               batch_size: int, steps: int,
-                              neg_sharing: int = 0, donate: bool = True):
+                              neg_sharing: int = 0, donate: bool = True,
+                              dedup_block: int = 0):
     """Same signature as make_slab_train_chunk, skip-gram objective."""
     from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
 
     B, W, K = batch_size, hyper.window, hyper.negative
     neg_rows = (batch_size // neg_sharing) if neg_sharing else batch_size
+
+    def one_step(u, v, s, k, tokens, sent_ids, table, scalars):
+        k_neg, k_win = jax.random.split(k)
+        base = scalars.base0 + s * B
+        wca = scalars.wca_start + s.astype(jnp.float32) * scalars.wca_per_step
+        alpha = scalars.alpha0 * (1.0 - wca / scalars.denom)
+        alpha = jnp.maximum(alpha, scalars.alpha0 * 1e-4)
+        slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
+        slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
+        shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
+        negs = draw_negatives(k_neg, table, (neg_rows, K), vocab_size)
+        inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
+                            shrink=shrink, neg_ids=negs)
+        return skipgram_slab_step(u, v, inputs, alpha, hyper, B, neg_sharing,
+                                  dedup_block=dedup_block)
+
+    if steps == 1:
+        # No-scan capacity path (see models/cbow_fused.py)
+        def chunk1(u, v, tokens, sent_ids, alias_prob, alias_alias,
+                   scalars, key):
+            table = AliasTable(prob=alias_prob, alias=alias_alias)
+            k = jax.random.split(key, 1)[0]
+            return one_step(u, v, jnp.int32(0), k, tokens, sent_ids,
+                            table, scalars)
+
+        return jax.jit(chunk1, donate_argnums=(0, 1) if donate else ())
 
     def chunk(u, v, tokens, sent_ids, alias_prob, alias_alias, scalars, key):
         table = AliasTable(prob=alias_prob, alias=alias_alias)
@@ -151,19 +189,8 @@ def make_skipgram_train_chunk(hyper: CBOWHyper, vocab_size: int,
         def body(carry, xs):
             u, v, loss = carry
             s, k = xs
-            k_neg, k_win = jax.random.split(k)
-            base = scalars.base0 + s * B
-            wca = scalars.wca_start + s.astype(jnp.float32) * scalars.wca_per_step
-            alpha = scalars.alpha0 * (1.0 - wca / scalars.denom)
-            alpha = jnp.maximum(alpha, scalars.alpha0 * 1e-4)
-            slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
-            slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
-            shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
-            negs = draw_negatives(k_neg, table, (neg_rows, K), vocab_size)
-            inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
-                                shrink=shrink, neg_ids=negs)
-            u, v, step_loss = skipgram_slab_step(u, v, inputs, alpha, hyper,
-                                                 B, neg_sharing)
+            u, v, step_loss = one_step(u, v, s, k, tokens, sent_ids,
+                                       table, scalars)
             return (u, v, loss + step_loss), None
 
         xs = (jnp.arange(steps, dtype=jnp.int32), keys)

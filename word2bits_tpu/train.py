@@ -128,7 +128,8 @@ def train(cfg: Word2BitsConfig,
     elif cfg.model == "skipgram":
         from word2bits_tpu.models.skipgram import make_skipgram_train_chunk
         chunk_fn = make_skipgram_train_chunk(hyper, V, B, S,
-                                             neg_sharing=cfg.neg_sharing)
+                                             neg_sharing=cfg.neg_sharing,
+                                             dedup_block=cfg.dedup_block)
     else:
         chunk_fn = make_slab_train_chunk(hyper, V, B, S,
                                          neg_sharing=cfg.neg_sharing,
