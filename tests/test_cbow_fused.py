@@ -53,3 +53,36 @@ def test_interleave_roundtrip():
     u2, v2 = deinterleave(interleave(jnp.asarray(u), jnp.asarray(v)))
     np.testing.assert_array_equal(np.asarray(u2), u)
     np.testing.assert_array_equal(np.asarray(v2), v)
+
+
+def test_fused_neg_pool_equals_split():
+    """Fused step with neg_pool must match the split slab step with the
+    same pooled negatives."""
+    import numpy as np
+    from word2bits_tpu.models.cbow_slab import SlabInputs, slab_step
+
+    B, W, K, G, P, V, D = 32, 3, 4, 8, 4, 50, 16
+    T = B // G
+    rng = np.random.default_rng(5)
+    u = rng.uniform(-0.5, 0.5, (V, D)).astype(np.float32)
+    v = rng.uniform(-0.5, 0.5, (V, D)).astype(np.float32)
+    toks = rng.integers(1, V, B + 2 * W).astype(np.int32)
+    sents = np.sort(rng.integers(0, 4, B + 2 * W)).astype(np.int32)
+    shrink = rng.integers(0, W, B).astype(np.int32)
+    negs = rng.integers(1, V, (T, P * K)).astype(np.int32)
+    inputs = SlabInputs(slab_tokens=jnp.asarray(toks),
+                        slab_sents=jnp.asarray(sents),
+                        shrink=jnp.asarray(shrink),
+                        neg_ids=jnp.asarray(negs))
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.01)
+    alpha = jnp.float32(0.05)
+
+    u1, v1, loss1 = slab_step(jnp.asarray(u), jnp.asarray(v), inputs, alpha,
+                              hyper, B, neg_sharing=G, neg_pool=P)
+    table, loss2 = fused_slab_step(interleave(jnp.asarray(u), jnp.asarray(v)),
+                                   inputs, alpha, hyper, B, G, neg_pool=P)
+    u2, v2 = deinterleave(table)
+
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)

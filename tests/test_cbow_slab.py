@@ -151,3 +151,93 @@ def test_slab_chunk_equals_reference_chunk():
     np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4, atol=1e-4)
+
+
+def test_neg_pool_full_equals_percenter():
+    """neg_pool=G gives every center a private pool: must equal per-center
+    mode with the pool negatives unpacked center-by-center."""
+    B, W, K, G = 32, 3, 4, 8
+    T = B // G
+    u, v, inputs = _setup(B=B, W=W, K=K)
+    hyper = CBOWHyper(bitlevel=2, size=16, window=W, negative=K, reg=0.01)
+    alpha = jnp.float32(0.05)
+
+    rng = np.random.default_rng(11)
+    negs_pool = rng.integers(1, 50, (T, G * K)).astype(np.int32)
+    u1, v1, loss1 = slab_step(
+        jnp.asarray(u), jnp.asarray(v),
+        inputs._replace(neg_ids=jnp.asarray(negs_pool)),
+        alpha, hyper, B, neg_sharing=G, neg_pool=G)
+
+    # strided tiles: center b is tile b % T, in-tile position g = b // T,
+    # and with P == G its pool is g — columns g*K..(g+1)*K
+    negs_full = np.stack([
+        negs_pool[b % T, (b // T) * K:(b // T + 1) * K] for b in range(B)])
+    u2, v2, loss2 = slab_step(
+        jnp.asarray(u), jnp.asarray(v),
+        inputs._replace(neg_ids=jnp.asarray(negs_full)),
+        alpha, hyper, B, neg_sharing=0)
+
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+
+def test_neg_pool_partial_equals_expanded():
+    """P between 1 and G: center g uses pool g % P — must equal per-center
+    mode with each center's pool broadcast to it."""
+    B, W, K, G, P = 32, 3, 4, 8, 2
+    T = B // G
+    u, v, inputs = _setup(B=B, W=W, K=K)
+    hyper = CBOWHyper(bitlevel=1, size=16, window=W, negative=K, reg=0.0)
+    alpha = jnp.float32(0.05)
+
+    rng = np.random.default_rng(13)
+    negs_pool = rng.integers(1, 50, (T, P * K)).astype(np.int32)
+    u1, v1, loss1 = slab_step(
+        jnp.asarray(u), jnp.asarray(v),
+        inputs._replace(neg_ids=jnp.asarray(negs_pool)),
+        alpha, hyper, B, neg_sharing=G, neg_pool=P)
+
+    negs_full = np.stack([
+        negs_pool[b % T,
+                  ((b // T) % P) * K:((b // T) % P + 1) * K]
+        for b in range(B)])
+    u2, v2, loss2 = slab_step(
+        jnp.asarray(u), jnp.asarray(v),
+        inputs._replace(neg_ids=jnp.asarray(negs_full)),
+        alpha, hyper, B, neg_sharing=0)
+
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+
+def test_neg_pool_chunk_runs_and_learns():
+    from word2bits_tpu.data.pipeline import build_epoch_arrays
+    from word2bits_tpu.sampling.unigram import build_alias_table
+
+    rng = np.random.default_rng(0)
+    V, D, B, S, W, K, G, P = 50, 16, 32, 10, 2, 4, 8, 4
+    pairs = rng.integers(1, V // 2, size=3000)
+    enc = np.stack([2 * pairs, 2 * pairs + 1], 1).reshape(-1).astype(np.int32)
+    counts = np.bincount(enc, minlength=V).astype(np.int64)
+    ep = build_epoch_arrays(enc, counts, 0.0, int(counts.sum()), W,
+                            np.random.default_rng(1))
+    hyper = CBOWHyper(bitlevel=0, size=D, window=W, negative=K)
+    table = build_alias_table(np.maximum(counts, 1) ** 0.75)
+
+    chunk = make_slab_train_chunk(hyper, V, B, S, neg_sharing=G,
+                                  neg_pool=P, donate=False)
+    u = jnp.asarray(rng.uniform(-0.05, 0.05, (V, D)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-0.05, 0.05, (V, D)).astype(np.float32))
+    sc = ChunkScalars(base0=jnp.int32(ep.halo), alpha0=jnp.float32(0.1),
+                      wca_start=jnp.float32(0), wca_per_step=jnp.float32(0),
+                      denom=jnp.float32(1e9))
+    losses = []
+    for i in range(8):
+        u, v, loss = chunk(u, v, jnp.asarray(ep.tokens),
+                           jnp.asarray(ep.sent_ids), table.prob,
+                           table.alias, sc, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] > losses[0], losses

@@ -122,3 +122,31 @@ def test_skipgram_chunk_learns():
                            sc, jax.random.PRNGKey(i))
         losses.append(float(loss))
     assert losses[-1] > losses[0], losses
+
+
+def test_skipgram_neg_pool_equals_percenter():
+    """neg_pool=G gives every center a private K-column pool: must equal
+    per-center mode with those pools unpacked by strided tile position."""
+    B, W, K, G = 16, 2, 3, 4
+    T = B // G
+    u, v, inputs = _setup(B=B, W=W, K=K)
+    hyper = CBOWHyper(bitlevel=1, size=8, window=W, negative=K, reg=0.005)
+    alpha = jnp.float32(0.05)
+
+    rng = np.random.default_rng(21)
+    negs_pool = rng.integers(1, 30, (T, G * K)).astype(np.int32)
+    u1, v1, loss1 = skipgram_slab_step(
+        jnp.asarray(u), jnp.asarray(v),
+        inputs._replace(neg_ids=jnp.asarray(negs_pool)),
+        alpha, hyper, B, neg_sharing=G, neg_pool=G)
+
+    negs_full = np.stack([
+        negs_pool[b % T, (b // T) * K:(b // T + 1) * K] for b in range(B)])
+    u2, v2, loss2 = skipgram_slab_step(
+        jnp.asarray(u), jnp.asarray(v),
+        inputs._replace(neg_ids=jnp.asarray(negs_full)),
+        alpha, hyper, B, neg_sharing=0)
+
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)

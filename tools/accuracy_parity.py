@@ -60,7 +60,7 @@ def run_reference(exe, corpus, out, bitlevel, iters):
 
 
 def run_ours(corpus, out, bitlevel, iters, neg_sharing, seed=1,
-             model="cbow"):
+             model="cbow", neg_pool=1):
     from word2bits_tpu.config import Word2BitsConfig
     from word2bits_tpu.train import train
 
@@ -70,7 +70,8 @@ def run_ours(corpus, out, bitlevel, iters, neg_sharing, seed=1,
         negative=HYPER["negative"], iter=iters,
         min_count=HYPER["min_count"], sample=HYPER["sample"],
         alpha=HYPER["alpha"], batch_size=512, steps_per_chunk=64,
-        neg_sharing=neg_sharing, debug=1, seed=seed, model=model)
+        neg_sharing=neg_sharing, neg_pool=neg_pool, debug=1, seed=seed,
+        model=model)
     t0 = time.perf_counter()
     train(cfg)
     return time.perf_counter() - t0
@@ -93,10 +94,13 @@ def _stats(xs):
     return m, s
 
 
-# (mode label, neg_sharing, model).  The reference trains only CBOW
-# (SURVEY.md section 0); skip-gram is our extension, compared against the
-# CBOW reference for context.
+# (mode label, neg_sharing, model[, neg_pool]).  The reference trains only
+# CBOW (SURVEY.md section 0); skip-gram is our extension, compared against
+# the CBOW reference for context.  pool8 = 8 negative pools per tile of 16
+# (sharing degree 2): the quality knob that restores shared-mode parity at
+# full MXU tile shapes (word2bits_tpu/models/cbow_slab.py pool_mask).
 MODES = [("per-center", 0, "cbow"), ("shared-16", 16, "cbow"),
+         ("shared-16-pool8", 16, "cbow", 8),
          ("skipgram", 0, "skipgram")]
 
 
@@ -146,12 +150,14 @@ def main():
             continue
         ref_accs, ref_cov, ref_t = reference_accs(bitlevel)
 
-        for label, sharing, model in wanted:
+        for label, sharing, model, *rest in wanted:
+            pool = rest[0] if rest else 1
             our_accs, t_tot = [], 0.0
             for s in range(n_seeds):
-                our_out = f"/tmp/parity_ours_b{bitlevel}_{sharing}_{model}_{s}.bin"
+                our_out = (f"/tmp/parity_ours_b{bitlevel}_{sharing}_{model}"
+                           f"_p{pool}_{s}.bin")
                 t_tot += run_ours(corpus, our_out, bitlevel, iters, sharing,
-                                  seed=s + 1, model=model)
+                                  seed=s + 1, model=model, neg_pool=pool)
                 acc, our_cov = evaluate(our_out, questions)
                 our_accs.append(acc)
             rows.append(dict(bitlevel=bitlevel, mode=label,
@@ -179,8 +185,15 @@ def main():
         f.write("| bitlevel | mode | ref acc % | ours acc % | at/above | "
                 "ref s | ours s |\n")
         f.write("|---|---|---|---|---|---|---|\n")
+        # Pool reference samples per bitlevel ACROSS invocations: Hogwild
+        # rerun batches drift by several points (e.g. bitlevel-2 batches at
+        # 50.9±0.5 and 46.6±1.3 hours apart), so invocation-local bars
+        # overstate confidence in the comparison.
+        ref_pool = {}
         for r in rows:
-            rm, rs = _stats(r["ref_accs"])
+            ref_pool.setdefault(r["bitlevel"], []).extend(r["ref_accs"])
+        for r in rows:
+            rm, rs = _stats(ref_pool[r["bitlevel"]])
             om, os_ = _stats(r["our_accs"])
             ok = "yes" if om + 1e-9 >= rm - max(rs, 1.0) else "NO"
             f.write(f"| {r['bitlevel']} | {r['mode']} | {rm:.1f}±{rs:.1f} "

@@ -81,6 +81,20 @@ def main():
         res["sorted"] = timeit(lambda: sort_fn(table, ids, rows))
         for M in (512, 1024, 2048):
             res[f"dedup-{M}"] = timeit(lambda M=M: dedup_fn(table, ids, rows, M))
+        interp = jax.default_backend() not in ("tpu", "axon")
+        if "--no-pallas" not in sys.argv and not interp:
+            # interpret mode simulates each RMW chain in Python — minutes
+            # per call at bench N; the kernel is only worth timing compiled
+            from word2bits_tpu.kernels.scatter_pallas import scatter_add_rmw
+            rmw_fn = jax.jit(scatter_add_rmw, static_argnums=(3, 4, 5))
+            for blk, sl in ((512, 32), (1024, 32), (1024, 64), (2048, 64)):
+                try:
+                    res[f"rmw-{blk}x{sl}"] = timeit(
+                        lambda blk=blk, sl=sl: rmw_fn(
+                            table, ids, rows, blk, sl, interp))
+                except Exception as e:
+                    print(f"  rmw-{blk}x{sl} failed: "
+                          f"{type(e).__name__}: {e}"[:200], flush=True)
         results[name] = {k: round(v * 1e6, 1) for k, v in res.items()}
         print(name, json.dumps(results[name]), flush=True)
         b = res["baseline"]

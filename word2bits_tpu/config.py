@@ -57,6 +57,14 @@ class Word2BitsConfig:
     # score/gradient contractions into MXU matmuls (standard batched-word2vec
     # optimization, cf. pWord2Vec arXiv 1604.04661; documented divergence).
     neg_sharing: int = 0
+    # Negative pools per tile (requires neg_sharing > 0): P > 1 draws P*K
+    # negatives per tile and assigns center g to pool g % P, so each
+    # negative set is shared by only G/P centers while the MXU contraction
+    # keeps the full (G, D) x (D, P*K) tile shape.  Decouples the sharing
+    # degree (quality knob — ACCEPTANCE.md shared-mode rows) from the tile
+    # size (MXU-efficiency knob).  P == G reproduces per-center negative
+    # semantics at shared-mode matmul shapes.
+    neg_pool: int = 1
     # Interleave u/v into one (V, 2D) table: merges the u-position and
     # center-v scatters (same word ids) into one — ~15% faster, numerically
     # identical (models/cbow_fused.py). Requires neg_sharing > 0.
@@ -149,6 +157,18 @@ class Word2BitsConfig:
             raise ValueError(
                 "use_pallas requires neg_sharing > 0 (the kernel fuses the "
                 "shared-negative tile phase; per-center mode has no tiles)")
+        if self.neg_pool < 1:
+            raise ValueError(f"neg_pool must be >= 1, got {self.neg_pool}")
+        if self.neg_pool > 1:
+            if not self.neg_sharing:
+                raise ValueError("neg_pool > 1 requires neg_sharing > 0")
+            if self.neg_sharing % self.neg_pool:
+                raise ValueError(
+                    f"neg_pool ({self.neg_pool}) must divide neg_sharing "
+                    f"({self.neg_sharing}) so every pool serves the same "
+                    "number of centers")
+            if self.use_pallas:
+                raise ValueError("use_pallas does not support neg_pool > 1")
         if self.use_pallas and self.model != "cbow":
             raise ValueError("use_pallas is implemented for the cbow model")
         if self.init not in ("reference", "uniform"):
@@ -198,6 +218,7 @@ REFERENCE_FLAGS = {
     "-seed": ("seed", int),
     "-dtype": ("dtype", str),
     "-neg-sharing": ("neg_sharing", int),
+    "-neg-pool": ("neg_pool", int),
     "-fused-tables": ("fused_tables", lambda s: bool(int(s))),
     "-model": ("model", str),
     "-packed": ("packed", lambda s: bool(int(s))),

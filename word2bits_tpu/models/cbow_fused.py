@@ -27,6 +27,7 @@ from word2bits_tpu.models.cbow_slab import (
     SlabInputs,
     _context_masks,
     from_tiles,
+    pool_mask,
     to_tiles,
 )
 from word2bits_tpu.ops.quantize import quantize
@@ -45,7 +46,8 @@ def deinterleave(table):
 
 def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                     batch_size: int, neg_sharing: int,
-                    use_pallas: bool = False, dedup_block: int = 0):
+                    use_pallas: bool = False, dedup_block: int = 0,
+                    neg_pool: int = 1):
     """One synchronous step on the fused (V, 2D) table. Shared negatives
     required (the fused layout exists for the optimized path).
     use_pallas routes the negative score/gradient phase through the fused
@@ -95,11 +97,14 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     dv_center = g_pos[:, None] * cavg - two_ar * v_c * af[:, None]
 
     # shared negatives (strided tiles), v-half gathered from the fused table
-    negs = inputs.neg_ids                                  # [T, K]
-    v_n = table[negs][..., D:].astype(dt)                  # [T, K, D]
+    P = neg_pool if neg_pool and neg_pool > 1 else 1
+    negs = inputs.neg_ids                                  # [T, P*K]
+    v_n = table[negs][..., D:].astype(dt)                  # [T, P*K, D]
     cavg3 = to_tiles(cavg, T, G)
     af3 = to_tiles(af, T, G)
     centers3 = to_tiles(centers, T, G)
+    if use_pallas and P > 1:
+        raise ValueError("use_pallas does not support neg_pool > 1 yet")
     if use_pallas:
         from word2bits_tpu.kernels.score_pallas import quantized_scores_pallas
         scalars = jnp.reshape(jnp.asarray(alpha, dt), (1, 1))
@@ -114,6 +119,8 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                                 preferred_element_type=jnp.float32)
         skip = negs[:, None, :] != centers3[:, :, None]
         m3 = skip.astype(dt) * af3[:, :, None]
+        if P > 1:
+            m3 = m3 * pool_mask(G, K, P, dt)[None]
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
         loss = loss + jnp.sum(
@@ -162,12 +169,13 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
 def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                            steps: int, neg_sharing: int,
                            donate: bool = True, use_pallas: bool = False,
-                           dedup_block: int = 0):
+                           dedup_block: int = 0, neg_pool: int = 1):
     """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key)
     -> (table, loss_sum); table is the fused (V, 2D) array."""
     from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
 
     B, W, K = batch_size, hyper.window, hyper.negative
+    P = neg_pool if (neg_pool and neg_pool > 1) else 1
     neg_rows = batch_size // neg_sharing
 
     def one_step(table, s, k, tokens, sent_ids, atab, scalars):
@@ -179,12 +187,12 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
         slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
         slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
         shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
-        negs = draw_negatives(k_neg, atab, (neg_rows, K), vocab_size)
+        negs = draw_negatives(k_neg, atab, (neg_rows, P * K), vocab_size)
         inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
                             shrink=shrink, neg_ids=negs)
         return fused_slab_step(table, inputs, alpha, hyper, B, neg_sharing,
                                use_pallas=use_pallas,
-                               dedup_block=dedup_block)
+                               dedup_block=dedup_block, neg_pool=P)
 
     if steps == 1:
         # No-scan capacity path: lax.scan double-buffers the carried table

@@ -93,6 +93,20 @@ def from_tiles(x, B: int):
     return x.swapaxes(0, 1).reshape((B,) + x.shape[2:])
 
 
+def pool_mask(G: int, K: int, P: int, dt):
+    """[G, P*K] mask: center g of a tile uses only negative pool g % P.
+
+    Decouples the MXU tile size G from the negative-SHARING degree G/P:
+    the score/gradient contractions still run at (G, D) x (D, P*K) — a
+    better MXU shape than shrinking G — while each negative set is shared
+    by only G/P centers (the quality knob; ACCEPTANCE.md shared-mode rows).
+    P == G gives every center a private pool: per-center semantics
+    (reference src/word2bits.cpp:450-460) at shared-mode matmul shapes."""
+    pool_of_neg = jnp.arange(P * K, dtype=jnp.int32) // K
+    pool_of_ctr = jnp.arange(G, dtype=jnp.int32) % P
+    return (pool_of_ctr[:, None] == pool_of_neg[None, :]).astype(dt)
+
+
 def _context_masks(inputs: SlabInputs, B: int, W: int):
     """mask[b, oi] for offsets o in (-W..-1, 1..W)."""
     sents = inputs.slab_sents
@@ -110,7 +124,7 @@ def _context_masks(inputs: SlabInputs, B: int, W: int):
 def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
               batch_size: int, neg_sharing: int = 0,
               use_pallas: bool = False, hot_rows: int = 0,
-              dedup_block: int = 0):
+              dedup_block: int = 0, neg_pool: int = 1):
     """One synchronous step over B consecutive centers. Returns (u, v, loss).
 
     use_pallas=True routes the shared-negative phase through the fused
@@ -197,18 +211,21 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         if B % G:
             raise ValueError(f"batch {B} not divisible by neg tile {G}")
         T = B // G
-        negs = inputs.neg_ids                              # [T, K]
-        v_n = v[negs].astype(dt)                           # [T, K, D]
+        P = neg_pool if neg_pool and neg_pool > 1 else 1
+        negs = inputs.neg_ids                              # [T, P*K]
+        v_n = v[negs].astype(dt)                           # [T, P*K, D]
         q_vn = quantize(v_n, bl)
         cavg3 = to_tiles(cavg, T, G)
         af3 = to_tiles(af, T, G)
-        # MXU: (G,D) x (D,K) per tile
+        # MXU: (G,D) x (D,P*K) per tile
         f_neg = lax.dot_general(cavg3, q_vn,
                                 (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)  # [T,G,K]
+                                preferred_element_type=jnp.float32)  # [T,G,PK]
         centers3 = to_tiles(centers, T, G)
-        skip = negs[:, None, :] != centers3[:, :, None]    # [T, G, K]
+        skip = negs[:, None, :] != centers3[:, :, None]    # [T, G, P*K]
         m3 = skip.astype(dt) * af3[:, :, None]
+        if P > 1:
+            m3 = m3 * pool_mask(G, K, P, dt)[None]
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)              # [T, K]
         loss = loss + jnp.sum(
@@ -260,13 +277,15 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
 def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                           steps: int, neg_sharing: int = 0,
                           donate: bool = True, use_pallas: bool = False,
-                          hot_rows: int = 0, dedup_block: int = 0):
+                          hot_rows: int = 0, dedup_block: int = 0,
+                          neg_pool: int = 1):
     """Drop-in replacement for make_train_chunk using the slab formulation.
     Same signature: chunk(u, v, tokens, sent_ids, alias_prob, alias_alias,
     scalars, key) -> (u, v, loss_sum)."""
     from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
 
     B, W, K = batch_size, hyper.window, hyper.negative
+    P = neg_pool if (neg_sharing and neg_pool and neg_pool > 1) else 1
     neg_rows = (batch_size // neg_sharing) if neg_sharing else batch_size
 
     def one_step(u, v, s, k, tokens, sent_ids, table, scalars):
@@ -279,12 +298,12 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
         slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
         slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
         shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
-        negs = draw_negatives(k_neg, table, (neg_rows, K), vocab_size)
+        negs = draw_negatives(k_neg, table, (neg_rows, P * K), vocab_size)
         inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
                             shrink=shrink, neg_ids=negs)
         return slab_step(u, v, inputs, alpha, hyper, B, neg_sharing,
                          use_pallas=use_pallas, hot_rows=hot_rows,
-                         dedup_block=dedup_block)
+                         dedup_block=dedup_block, neg_pool=P)
 
     if steps == 1:
         # No-scan capacity path (see models/cbow_fused.py): donation aliases

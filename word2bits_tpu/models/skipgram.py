@@ -28,7 +28,7 @@ from word2bits_tpu.ops.sigmoid import sigmoid_exact, sigmoid_lut
 
 def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                        batch_size: int, neg_sharing: int = 0,
-                       dedup_block: int = 0):
+                       dedup_block: int = 0, neg_pool: int = 1):
     """One synchronous skip-gram step over B consecutive centers.
 
     Every (center b, offset o) pair trains input row u[token[b+o]] against
@@ -87,26 +87,32 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         if B % G:
             raise ValueError(f"batch {B} not divisible by neg tile {G}")
         T = B // G
-        negs = inputs.neg_ids                             # [T, K]
+        P = neg_pool if neg_pool and neg_pool > 1 else 1
+        PK = P * K
+        negs = inputs.neg_ids                             # [T, P*K]
         v_n = v[negs].astype(dt)
-        q_vn = quantize(v_n, bl)                          # [T, K, D]
-        from word2bits_tpu.models.cbow_slab import from_tiles, to_tiles
+        q_vn = quantize(v_n, bl)                          # [T, P*K, D]
+        from word2bits_tpu.models.cbow_slab import (from_tiles, pool_mask,
+                                                    to_tiles)
         q_in4 = to_tiles(q_in, T, G).reshape(T, G * 2 * W, D)
         mf4 = to_tiles(mf, T, G)
         centers3 = to_tiles(centers, T, G)
-        # MXU: (G*2W, D) x (D, K) per tile
+        # MXU: (G*2W, D) x (D, P*K) per tile
         f_neg = lax.dot_general(q_in4, q_vn, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
-        f_neg = f_neg.reshape(T, G, 2 * W, K)
-        skip = (negs[:, None, :] != centers3[:, :, None])  # [T, G, K]
-        m4 = mf4[..., None] * skip[:, :, None, :].astype(dt)  # [T,G,2W,K]
+        f_neg = f_neg.reshape(T, G, 2 * W, PK)
+        skip = (negs[:, None, :] != centers3[:, :, None])  # [T, G, P*K]
+        eligible = skip.astype(dt)
+        if P > 1:
+            eligible = eligible * pool_mask(G, K, P, dt)[None]
+        m4 = mf4[..., None] * eligible[:, :, None, :]      # [T,G,2W,PK]
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m4
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)             # [T, K]
         loss = loss + jnp.sum(
             (jnp.log(sigmoid_exact(-f_neg))
              - reg * vn_sq[:, None, None, :]) * m4)
         # dv[neg] += sum_pairs g * q_in - decay per visit
-        g2 = g_neg.reshape(T, G * 2 * W, K)
+        g2 = g_neg.reshape(T, G * 2 * W, PK)
         dv_neg = lax.dot_general(g2, q_in4, (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)  # [T,K,D]
         visits = jnp.sum(m4, axis=(1, 2))                 # [T, K]
@@ -149,11 +155,12 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
 def make_skipgram_train_chunk(hyper: CBOWHyper, vocab_size: int,
                               batch_size: int, steps: int,
                               neg_sharing: int = 0, donate: bool = True,
-                              dedup_block: int = 0):
+                              dedup_block: int = 0, neg_pool: int = 1):
     """Same signature as make_slab_train_chunk, skip-gram objective."""
     from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
 
     B, W, K = batch_size, hyper.window, hyper.negative
+    P = neg_pool if (neg_sharing and neg_pool and neg_pool > 1) else 1
     neg_rows = (batch_size // neg_sharing) if neg_sharing else batch_size
 
     def one_step(u, v, s, k, tokens, sent_ids, table, scalars):
@@ -165,11 +172,11 @@ def make_skipgram_train_chunk(hyper: CBOWHyper, vocab_size: int,
         slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
         slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
         shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
-        negs = draw_negatives(k_neg, table, (neg_rows, K), vocab_size)
+        negs = draw_negatives(k_neg, table, (neg_rows, P * K), vocab_size)
         inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
                             shrink=shrink, neg_ids=negs)
         return skipgram_slab_step(u, v, inputs, alpha, hyper, B, neg_sharing,
-                                  dedup_block=dedup_block)
+                                  dedup_block=dedup_block, neg_pool=P)
 
     if steps == 1:
         # No-scan capacity path (see models/cbow_fused.py)

@@ -116,7 +116,8 @@ def train(cfg: Word2BitsConfig,
         fused_fn = make_fused_train_chunk(hyper, V, B, S,
                                           neg_sharing=cfg.neg_sharing,
                                           use_pallas=cfg.use_pallas,
-                                          dedup_block=cfg.dedup_block)
+                                          dedup_block=cfg.dedup_block,
+                                          neg_pool=cfg.neg_pool)
 
         def chunk_fn(u_, v_, *args):
             # u_ carries the fused table; v_ is a zero-size sentinel
@@ -129,12 +130,14 @@ def train(cfg: Word2BitsConfig,
         from word2bits_tpu.models.skipgram import make_skipgram_train_chunk
         chunk_fn = make_skipgram_train_chunk(hyper, V, B, S,
                                              neg_sharing=cfg.neg_sharing,
-                                             dedup_block=cfg.dedup_block)
+                                             dedup_block=cfg.dedup_block,
+                                             neg_pool=cfg.neg_pool)
     else:
         chunk_fn = make_slab_train_chunk(hyper, V, B, S,
                                          neg_sharing=cfg.neg_sharing,
                                          use_pallas=cfg.use_pallas,
-                                         dedup_block=cfg.dedup_block)
+                                         dedup_block=cfg.dedup_block,
+                                         neg_pool=cfg.neg_pool)
 
     fused_mode = bool(sharded is None and cfg.fused_tables
                       and cfg.neg_sharing and cfg.model == "cbow")
