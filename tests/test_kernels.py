@@ -65,7 +65,7 @@ def test_score_kernel_matches_xla(reg):
     scalars = jnp.asarray([[alpha]], dtype=jnp.float32)
 
     got_cavge, got_dv, got_loss = quantized_scores_pallas(
-        cavg3, v_rows, centers3, negs, af3, scalars, 1, reg, True)
+        cavg3, v_rows, centers3, negs, af3, scalars, 1, reg, interpret=True)
     want_cavge, want_dv, want_loss = _xla_negative_phase(
         cavg3, v_rows, centers3, negs, af3, alpha, 1, reg)
 

@@ -75,3 +75,26 @@ def test_use_pallas_requires_neg_sharing():
     from word2bits_tpu.config import Word2BitsConfig
     with pytest.raises(ValueError, match="neg_sharing"):
         Word2BitsConfig(use_pallas=True)
+
+
+def test_pallas_path_matches_xla_path_neg_pool():
+    """use_pallas with neg_pool > 1: the in-kernel pool mask must match the
+    XLA pool_mask path exactly."""
+    B, W, K, G, P = 32, 3, 4, 8, 4
+    u, v, inputs = _setup(B=B, W=W, K=K)
+    rng = np.random.default_rng(17)
+    negs = rng.integers(1, 50, (B // G, P * K)).astype(np.int32)
+    inputs = inputs._replace(neg_ids=jnp.asarray(negs))
+    hyper = CBOWHyper(bitlevel=2, size=16, window=W, negative=K, reg=0.01)
+    alpha = jnp.float32(0.05)
+
+    u1, v1, l1 = slab_step(jnp.asarray(u), jnp.asarray(v), inputs, alpha,
+                           hyper, B, neg_sharing=G, neg_pool=P,
+                           use_pallas=False)
+    u2, v2, l2 = slab_step(jnp.asarray(u), jnp.asarray(v), inputs, alpha,
+                           hyper, B, neg_sharing=G, neg_pool=P,
+                           use_pallas=True)
+
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5, atol=1e-5)

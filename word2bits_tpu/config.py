@@ -167,8 +167,6 @@ class Word2BitsConfig:
                     f"neg_pool ({self.neg_pool}) must divide neg_sharing "
                     f"({self.neg_sharing}) so every pool serves the same "
                     "number of centers")
-            if self.use_pallas:
-                raise ValueError("use_pallas does not support neg_pool > 1")
         if self.use_pallas and self.model != "cbow":
             raise ValueError("use_pallas is implemented for the cbow model")
         if self.init not in ("reference", "uniform"):

@@ -42,23 +42,31 @@ def _sigmoid_exact_values(f):
                      jnp.where(f < -MAX_EXP, jnp.asarray(1e-9, f.dtype), sig))
 
 
-def _kernel(bitlevel, reg,
+def _kernel(bitlevel, reg, pool,
             cavg_ref, vrows_ref, centers_ref, negs_ref, af_ref, scalars_ref,
             cavge_ref, dv_ref, loss_ref):
     alpha = scalars_ref[0, 0]
     dt = cavg_ref.dtype
     cavg = cavg_ref[0]                     # [G, D]
-    v_rows = vrows_ref[0]                  # [K, D]
+    v_rows = vrows_ref[0]                  # [P*K, D]
     q_vn = quantize_values(v_rows, bitlevel)
     af = af_ref[0]                         # [G, 1] float
     centers = centers_ref[0]               # [G, 1] int32
-    negs = negs_ref[0]                     # [1, K] int32
+    negs = negs_ref[0]                     # [1, P*K] int32
 
-    # f = cavg @ q_vn^T : [G, K]
+    # f = cavg @ q_vn^T : [G, P*K]
     f = jax.lax.dot_general(cavg, q_vn, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    skip = (negs != centers).astype(dt)    # [G, K] broadcast compare
-    m = skip * af                          # [G, K]
+    skip = (negs != centers).astype(dt)    # [G, P*K] broadcast compare
+    m = skip * af                          # [G, P*K]
+    if pool > 1:
+        # center g uses only negative pool g % P (cbow_slab.pool_mask,
+        # computed in-register: 2D iota on the VPU)
+        G, PK = f.shape
+        ctr_pool = jax.lax.broadcasted_iota(jnp.int32, (G, PK), 0) % pool
+        neg_pool_ = jax.lax.broadcasted_iota(jnp.int32, (G, PK), 1) \
+            // (PK // pool)
+        m = m * (ctr_pool == neg_pool_).astype(dt)
     g = (0.0 - _sigmoid_lut_values(f)) * alpha * m
 
     vn_sq = jnp.sum(q_vn * q_vn, axis=-1)[None, :]          # [1, K]
@@ -75,23 +83,24 @@ def _kernel(bitlevel, reg,
     dv_ref[0] = dv - (2.0 * alpha * reg) * v_rows * visits
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def quantized_scores_pallas(cavg3, v_rows, centers3, negs, af3, scalars,
                             bitlevel: int, reg: float,
-                            interpret: bool = False):
+                            neg_pool: int = 1, interpret: bool = False):
     """Run the fused negative phase over all T tiles.
 
     cavg3   [T, G, D] context averages
-    v_rows  [T, K, D] gathered (unquantized) negative rows
+    v_rows  [T, P*K, D] gathered (unquantized) negative rows
     centers3[T, G]    center ids
-    negs    [T, K]    negative ids
+    negs    [T, P*K]  negative ids (neg_pool=P pools per tile; see
+                      cbow_slab.pool_mask for the center->pool routing)
     af3     [T, G]    active-center mask (float)
     scalars [1, 1]    (alpha,) — SMEM scalar
-    Returns (cavge [T,G,D], dv_neg [T,K,D], loss [])."""
+    Returns (cavge [T,G,D], dv_neg [T,P*K,D], loss [])."""
     T, G, D = cavg3.shape
     K = v_rows.shape[1]
     cavge, dv, losses = pl.pallas_call(
-        functools.partial(_kernel, bitlevel, reg),
+        functools.partial(_kernel, bitlevel, reg, neg_pool),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, G, D), lambda t: (t, 0, 0),

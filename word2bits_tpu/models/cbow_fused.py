@@ -103,14 +103,13 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     cavg3 = to_tiles(cavg, T, G)
     af3 = to_tiles(af, T, G)
     centers3 = to_tiles(centers, T, G)
-    if use_pallas and P > 1:
-        raise ValueError("use_pallas does not support neg_pool > 1 yet")
     if use_pallas:
         from word2bits_tpu.kernels.score_pallas import quantized_scores_pallas
         scalars = jnp.reshape(jnp.asarray(alpha, dt), (1, 1))
         interp = jax.default_backend() not in ("tpu", "axon")
         cavge_neg, dv_neg, nloss = quantized_scores_pallas(
-            cavg3, v_n, centers3, negs, af3, scalars, bl, float(reg), interp)
+            cavg3, v_n, centers3, negs, af3, scalars, bl, float(reg), P,
+            interp)
         loss = loss + nloss
         cavge = cavge + from_tiles(cavge_neg, B)
     else:

@@ -193,15 +193,17 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         if B % G:
             raise ValueError(f"batch {B} not divisible by neg tile {G}")
         T = B // G
-        negs = inputs.neg_ids                              # [T, K]
-        v_n = v[negs].astype(dt)                           # [T, K, D]
+        P = neg_pool if neg_pool and neg_pool > 1 else 1
+        negs = inputs.neg_ids                              # [T, P*K]
+        v_n = v[negs].astype(dt)                           # [T, P*K, D]
         cavg3 = to_tiles(cavg, T, G)
         af3 = to_tiles(af, T, G)
         centers3 = to_tiles(centers, T, G)
         scalars = jnp.reshape(jnp.asarray(alpha, dt), (1, 1))
         interp = jax.default_backend() not in ("tpu", "axon")
         cavge_neg, dv_neg, nloss = quantized_scores_pallas(
-            cavg3, v_n, centers3, negs, af3, scalars, bl, float(reg), interp)
+            cavg3, v_n, centers3, negs, af3, scalars, bl, float(reg), P,
+            interp)
         loss = loss + nloss
         cavge = cavge + from_tiles(cavge_neg, B)
         v = scat(v, jnp.concatenate([centers, negs.reshape(-1)]),
