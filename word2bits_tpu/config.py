@@ -93,6 +93,14 @@ class Word2BitsConfig:
     # fixed segments per epoch (keeps token arrays bounded next to the
     # embedding tables in HBM).  268M tokens ~= 2 GB of epoch arrays.
     segment_tokens: int = 1 << 28
+    # Build epoch arrays (subsample + compact + sentence ids) ON DEVICE
+    # (data/device_pipeline.py): the encoded corpus uploads once and per-epoch
+    # prep is a single jitted pass instead of a host numpy rebuild (~1 min per
+    # epoch at full-Wikipedia scale).  Applies to the single-segment,
+    # single-chip path; streamed segments and the sharded trainer keep the
+    # host pipeline.  Subsample draws come from threefry instead of the host
+    # Generator (same distribution, different stream — C9-style divergence).
+    device_epoch: bool = False
     seed: int = 1
     init: str = "reference"    # "reference" (exact LCG parity) or "uniform"
     # Batch-aware LR auto-scaling. `alpha` is specified in the reference's
@@ -224,6 +232,7 @@ REFERENCE_FLAGS = {
     "-resume": ("resume", lambda s: bool(int(s))),
     "-auto-lr": ("auto_lr", lambda s: bool(int(s))),
     "-use-pallas": ("use_pallas", lambda s: bool(int(s))),
+    "-device-epoch": ("device_epoch", lambda s: bool(int(s))),
     "-dedup-block": ("dedup_block", int),
     "-profile-dir": ("profile_dir", str),
     # word2vec-style spelling: -cbow 1 == cbow, -cbow 0 == skipgram

@@ -97,19 +97,21 @@ def iter_epoch_segments(encoded: np.ndarray, counts: np.ndarray, sample: float,
 
 def build_epoch_arrays(encoded: np.ndarray, counts: np.ndarray, sample: float,
                        train_words: int, window: int, rng: np.random.Generator,
-                       capacity: int | None = None) -> EpochArrays:
+                       capacity: int | None = None,
+                       uniforms: np.ndarray | None = None) -> EpochArrays:
     """One epoch's subsampled, sentence-segmented, halo-padded arrays.
 
     `encoded` is the full encoded corpus (id 0 = `</s>` sentence breaks, OOV
     already dropped).  `capacity` fixes the padded length for stable jit
     shapes across epochs (default: len(encoded) rounded up to a multiple of
-    1024).
+    1024).  `uniforms` injects the subsampling draws (testing: lets the
+    device builder in data/device_pipeline.py be compared bit-for-bit).
     """
     encoded = np.asarray(encoded, dtype=np.int32)
     is_sent = encoded == 0
 
     keep_probs = subsample_keep_probs(counts, sample, train_words)
-    u = rng.random(encoded.shape[0])
+    u = rng.random(encoded.shape[0]) if uniforms is None else uniforms
     keep = (u <= keep_probs[encoded]) | is_sent  # `</s>` never subsampled
 
     kept = encoded[keep]

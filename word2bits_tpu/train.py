@@ -161,6 +161,24 @@ def train(cfg: Word2BitsConfig,
     epoch_losses: List[float] = []
     total_steps = 0
 
+    # device-side epoch preparation (-device-epoch 1): upload the encoded
+    # corpus once; per-epoch subsample+compact+sentence-id runs as one jitted
+    # pass (data/device_pipeline.py).  Single-segment single-chip path only.
+    use_device_epoch = bool(cfg.device_epoch and sharded is None
+                            and len(encoded) <= seg_tokens)
+    if use_device_epoch:
+        from word2bits_tpu.data.device_pipeline import \
+            make_device_epoch_builder
+        from word2bits_tpu.data.pipeline import subsample_keep_probs
+        encoded_dev = jnp.asarray(np.asarray(encoded, np.int32))
+        keep_probs_dev = jnp.asarray(subsample_keep_probs(
+            vocab.counts, cfg.sample, train_words).astype(np.float32))
+        epoch_builder = make_device_epoch_builder(capacity, W)
+        # keyed by (seed, epoch), independent of the training key stream, so
+        # resume reproduces the same subsampling as the host pipeline's
+        # default_rng([seed, epoch])
+        ep_key_base = jax.random.PRNGKey(cfg.seed)
+
     profiling = False
     if cfg.profile_dir:
         try:
@@ -184,21 +202,31 @@ def train(cfg: Word2BitsConfig,
         epoch_loss = 0.0
         t_print = 0.0
         t0 = time.perf_counter()
-        for ep in iter_epoch_segments(encoded, vocab.counts, cfg.sample,
-                                      train_words, W, epoch_rng,
-                                      seg_tokens, capacity=capacity):
-            tokens_dev = jnp.asarray(ep.tokens)
-            sents_dev = jnp.asarray(ep.sent_ids)
-            n_centers = max(ep.n_tokens, 1)
+        def _segments():
+            """Yield (tokens_dev, sents_dev, n_tokens, source_len)."""
+            if use_device_epoch:
+                ek = jax.random.fold_in(ep_key_base, epoch)
+                t, s, nt = epoch_builder(encoded_dev, keep_probs_dev, ek)
+                yield t, s, int(nt), len(encoded)  # one scalar fetch/epoch
+            else:
+                for ea in iter_epoch_segments(encoded, vocab.counts,
+                                              cfg.sample, train_words, W,
+                                              epoch_rng, seg_tokens,
+                                              capacity=capacity):
+                    yield (jnp.asarray(ea.tokens), jnp.asarray(ea.sent_ids),
+                           ea.n_tokens, ea.source_len)
+
+        for tokens_dev, sents_dev, seg_n_tokens, source_len in _segments():
+            n_centers = max(seg_n_tokens, 1)
             # this segment accounts for its share of the epoch's train_words
-            seg_words = train_words * ep.source_len / total_len
+            seg_words = train_words * source_len / total_len
             wca_per_step = B * seg_words / n_centers
-            n_steps = math.ceil(ep.n_tokens / B)
+            n_steps = math.ceil(seg_n_tokens / B)
             n_chunks = max(1, math.ceil(n_steps / S))
 
             for ci in range(n_chunks):
                 key, sub = jax.random.split(key)
-                base0 = ep.halo + ci * S * B
+                base0 = W + ci * S * B
                 chunk_steps = min(S, n_steps - ci * S)
                 scalars = ChunkScalars(
                     base0=jnp.int32(base0),
