@@ -71,7 +71,7 @@ def _prepare():
 # ~4 attempts x 600 s + sleeps ~= 45 min; each sleep gives the tunnel the
 # quiet period it needs to recover.
 CHILD_TIMEOUT = 600.0
-RETRY_DELAYS = [30.0, 120.0, 240.0]
+RETRY_DELAYS = [30.0, 120.0, 240.0, 420.0]
 
 
 def _supervise() -> int:
@@ -112,7 +112,12 @@ def _supervise() -> int:
 
 
 def main():
+    # progress markers so a supervisor-killed child's stderr shows WHERE it
+    # hung: nothing => interpreter/axon-register init (sitecustomize dials
+    # the relay at startup); "imported" => backend init / first dispatch
+    print("bench: child starting imports", file=sys.stderr, flush=True)
     import jax
+    print("bench: jax imported", file=sys.stderr, flush=True)
     if os.environ.get("W2B_FORCE_CPU"):  # testing only — the metric is TPU
         try:
             jax.config.update("jax_platforms", "cpu")

@@ -39,13 +39,19 @@ def _setup(seed, S, B, W, V, D):
     return u, v, toks, sents, table, scalars
 
 
-@pytest.mark.parametrize("mesh_shape,shared,model", [
-    ({"data": 2, "vocab": 4}, 8, "cbow"),
-    ({"data": 4, "vocab": 2}, 16, "cbow"),
-    ({"data": 2, "vocab": 4}, 0, "cbow"),
-    ({"data": 2, "vocab": 4}, 8, "skipgram"),
+@pytest.mark.parametrize("mesh_shape,shared,model,pool", [
+    ({"data": 2, "vocab": 4}, 8, "cbow", 1),
+    ({"data": 4, "vocab": 2}, 16, "cbow", 1),
+    ({"data": 2, "vocab": 4}, 0, "cbow", 1),
+    ({"data": 2, "vocab": 4}, 8, "skipgram", 1),
+    # neg_pool: P pools per tile; the center->pool routing crosses data
+    # shards (pool_mask offset = shard * G_local), so P values both above
+    # and below the data-axis size are exercised
+    ({"data": 2, "vocab": 4}, 8, "cbow", 4),
+    ({"data": 4, "vocab": 2}, 8, "cbow", 2),
+    ({"data": 2, "vocab": 4}, 8, "skipgram", 4),
 ])
-def test_sharded_chunk_equals_single_chunk(mesh_shape, shared, model):
+def test_sharded_chunk_equals_single_chunk(mesh_shape, shared, model, pool):
     S, B, W, K, V, D = 3, 32, 3, 4, 45, 16
     hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.01)
     u, v, toks, sents, table, scalars = _setup(0, S, B, W, V, D)
@@ -53,11 +59,11 @@ def test_sharded_chunk_equals_single_chunk(mesh_shape, shared, model):
 
     if model == "skipgram":
         single = make_skipgram_train_chunk(hyper, V, B, S, neg_sharing=shared,
-                                           donate=False)
+                                           neg_pool=pool, donate=False)
         body = _sharded_skipgram_body
     else:
         single = make_slab_train_chunk(hyper, V, B, S, neg_sharing=shared,
-                                       donate=False)
+                                       neg_pool=pool, donate=False)
         body = _sharded_slab_body
     u1, v1, loss1 = single(jnp.asarray(u), jnp.asarray(v), jnp.asarray(toks),
                            jnp.asarray(sents), table.prob, table.alias,
@@ -67,7 +73,8 @@ def test_sharded_chunk_equals_single_chunk(mesh_shape, shared, model):
     nv = mesh_shape["vocab"]
     up, vp = pad_vocab_rows(u, nv), pad_vocab_rows(v, nv)
     chunk = make_sharded_chunk(body, hyper, mesh, up.shape[0], V, B, S,
-                               neg_sharing=shared, donate=False)
+                               neg_sharing=shared, neg_pool=pool,
+                               donate=False)
     ud, vd = shard_params(jnp.asarray(up), jnp.asarray(vp), mesh)
     u2, v2, loss2 = chunk(ud, vd, jnp.asarray(toks), jnp.asarray(sents),
                           table.prob, table.alias, scalars, key)

@@ -93,7 +93,7 @@ def from_tiles(x, B: int):
     return x.swapaxes(0, 1).reshape((B,) + x.shape[2:])
 
 
-def pool_mask(G: int, K: int, P: int, dt):
+def pool_mask(G: int, K: int, P: int, dt, offset=0):
     """[G, P*K] mask: center g of a tile uses only negative pool g % P.
 
     Decouples the MXU tile size G from the negative-SHARING degree G/P:
@@ -101,9 +101,14 @@ def pool_mask(G: int, K: int, P: int, dt):
     better MXU shape than shrinking G — while each negative set is shared
     by only G/P centers (the quality knob; ACCEPTANCE.md shared-mode rows).
     P == G gives every center a private pool: per-center semantics
-    (reference src/word2bits.cpp:450-460) at shared-mode matmul shapes."""
+    (reference src/word2bits.cpp:450-460) at shared-mode matmul shapes.
+
+    `offset` shifts the in-tile member index: a data shard holding tile
+    members [offset, offset+G) passes offset = shard_index * G so its
+    center->pool routing matches the global (single-chip) mask.  May be a
+    traced value (lax.axis_index inside shard_map)."""
     pool_of_neg = jnp.arange(P * K, dtype=jnp.int32) // K
-    pool_of_ctr = jnp.arange(G, dtype=jnp.int32) % P
+    pool_of_ctr = (offset + jnp.arange(G, dtype=jnp.int32)) % P
     return (pool_of_ctr[:, None] == pool_of_neg[None, :]).astype(dt)
 
 

@@ -31,7 +31,7 @@ from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
 def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
                        vocab_size_padded: int, vocab_size: int,
                        batch_size: int, steps: int, neg_sharing: int = 0,
-                       donate: bool = True):
+                       neg_pool: int = 1, donate: bool = True):
     """jit(shard_map) chunk running `steps` sharded minibatch steps.
 
     `body_fn` is one of the per-step sharded bodies
@@ -62,6 +62,7 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
     if vocab_size_padded % nv:
         raise ValueError(f"vocab {vocab_size_padded} not divisible by {nv}")
     vss = vocab_size_padded // nv
+    pools = neg_pool if (neg_sharing and neg_pool and neg_pool > 1) else 1
     neg_rows = (batch_size // neg_sharing) if neg_sharing else batch_size
 
     def chunk(u_local, v_local, tokens, sent_ids, alias_prob, alias_alias,
@@ -80,10 +81,11 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
             slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
             slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
             shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
-            negs = draw_negatives(k_neg, table, (neg_rows, K), vocab_size)
+            negs = draw_negatives(k_neg, table, (neg_rows, pools * K),
+                                  vocab_size)
             u_local, v_local, step_loss = body_fn(
                 u_local, v_local, slab_tokens, slab_sents, shrink, negs,
-                alpha, hyper, batch_size, neg_sharing, vss)
+                alpha, hyper, batch_size, neg_sharing, vss, neg_pool=pools)
             return (u_local, v_local, loss + step_loss), None
 
         xs = (jnp.arange(steps, dtype=jnp.int32), keys)

@@ -29,7 +29,8 @@ from word2bits_tpu.parallel.sharded import _gather_rows, _scatter_delta
 
 def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
                            negs, alpha, hyper: CBOWHyper, B_global: int,
-                           neg_sharing: int, vocab_shard_size: int):
+                           neg_sharing: int, vocab_shard_size: int,
+                           neg_pool: int = 1):
     W, K, D = hyper.window, hyper.negative, u_local.shape[1]
     bl, reg = hyper.bitlevel, hyper.reg
     dt = jnp.float32
@@ -75,22 +76,30 @@ def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     v_n = _gather_rows(v_local, my_negs, vocab_shard_size).astype(dt)
     q_vn = quantize(v_n, bl)
     if neg_sharing:
+        from word2bits_tpu.models.cbow_slab import pool_mask
         G = neg_sharing
         T = B_global // G
         G_local = B // T
+        PK = my_negs.shape[-1]                  # P*K negatives per tile
         q_in4 = to_tiles(q_in, T, G_local).reshape(T, G_local * 2 * W, D)
         mf4 = to_tiles(mf, T, G_local)
         centers3 = to_tiles(centers, T, G_local)
         f_neg = lax.dot_general(q_in4, q_vn, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
-        f_neg = f_neg.reshape(T, G_local, 2 * W, K)
+        f_neg = f_neg.reshape(T, G_local, 2 * W, PK)
         skip = (my_negs[:, None, :] != centers3[:, :, None])
-        m4 = mf4[..., None] * skip[:, :, None, :].astype(dt)
+        eligible = skip.astype(dt)
+        if neg_pool > 1:
+            # offset the member index by this shard's tile-slice start so
+            # center->pool routing matches the single-chip pool_mask
+            eligible = eligible * pool_mask(G_local, K, neg_pool, dt,
+                                            offset=di * G_local)[None]
+        m4 = mf4[..., None] * eligible[:, :, None, :]
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m4
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
         loss = loss + jnp.sum(
             (jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq[:, None, None, :]) * m4)
-        g2 = g_neg.reshape(T, G_local * 2 * W, K)
+        g2 = g_neg.reshape(T, G_local * 2 * W, PK)
         dv_neg = lax.dot_general(g2, q_in4, (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         visits = jnp.sum(m4, axis=(1, 2))
@@ -140,7 +149,7 @@ def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
 
 def make_sharded_skipgram_step(hyper: CBOWHyper, mesh: Mesh,
                                vocab_size_padded: int, batch_size: int,
-                               neg_sharing: int = 0):
+                               neg_sharing: int = 0, neg_pool: int = 1):
     """Same contract as make_sharded_slab_step, skip-gram objective."""
     nd = mesh.shape[DATA_AXIS]
     nv = mesh.shape[VOCAB_AXIS]
@@ -158,7 +167,7 @@ def make_sharded_skipgram_step(hyper: CBOWHyper, mesh: Mesh,
     def step(u_local, v_local, slab_tokens, slab_sents, shrink, negs, alpha):
         u_local, v_local, loss = _sharded_skipgram_body(
             u_local, v_local, slab_tokens, slab_sents, shrink, negs, alpha,
-            hyper, batch_size, neg_sharing, vss)
+            hyper, batch_size, neg_sharing, vss, neg_pool=neg_pool)
         loss = lax.psum(loss, VOCAB_AXIS) / nv
         return u_local, v_local, loss
 

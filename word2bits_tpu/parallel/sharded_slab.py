@@ -32,7 +32,8 @@ from word2bits_tpu.parallel.sharded import _gather_rows, _scatter_delta
 
 def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
                        negs, alpha, hyper: CBOWHyper, B_global: int,
-                       neg_sharing: int, vocab_shard_size: int):
+                       neg_sharing: int, vocab_shard_size: int,
+                       neg_pool: int = 1):
     """Runs inside shard_map. Global inputs replicated; params vocab-sharded."""
     W, K, D = hyper.window, hyper.negative, u_local.shape[1]
     bl, reg = hyper.bitlevel, hyper.reg
@@ -56,7 +57,7 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
         # starts at d*B which is a multiple of T_global, so local index
         # b % T_global == global tile id: every shard uses ALL T_global
         # negative rows, holding G/nd members of each tile.
-        my_negs = negs                                     # [T_global, K]
+        my_negs = negs                                     # [T_global, P*K]
     else:
         my_negs = lax.dynamic_slice(negs, (start, 0), (B, K))
 
@@ -95,7 +96,8 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     v_n = _gather_rows(v_local, my_negs, vocab_shard_size).astype(dt)
     q_vn = quantize(v_n, bl)
     if neg_sharing:
-        from word2bits_tpu.models.cbow_slab import from_tiles, to_tiles
+        from word2bits_tpu.models.cbow_slab import (from_tiles, pool_mask,
+                                                    to_tiles)
         G = neg_sharing
         T = B_global // G          # global tile count
         G_local = B // T           # members of each tile on this shard
@@ -106,6 +108,12 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
         centers3 = to_tiles(centers, T, G_local)
         skip = my_negs[:, None, :] != centers3[:, :, None]
         m3 = skip.astype(dt) * af3[:, :, None]
+        if neg_pool > 1:
+            # this shard holds tile members [di*G_local, (di+1)*G_local);
+            # offset the member index so center->pool routing matches the
+            # single-chip mask (cbow_slab.pool_mask)
+            m3 = m3 * pool_mask(G_local, K, neg_pool, dt,
+                                offset=di * G_local)[None]
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
         loss = loss + jnp.sum(
@@ -164,7 +172,7 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
 
 def make_sharded_slab_step(hyper: CBOWHyper, mesh: Mesh,
                            vocab_size_padded: int, batch_size: int,
-                           neg_sharing: int = 0):
+                           neg_sharing: int = 0, neg_pool: int = 1):
     """jit(shard_map) step: (u_loc, v_loc, slab_tokens, slab_sents, shrink,
     negs, alpha) -> (u_loc, v_loc, loss).  Inputs replicated, params
     vocab-sharded."""
@@ -186,7 +194,7 @@ def make_sharded_slab_step(hyper: CBOWHyper, mesh: Mesh,
     def step(u_local, v_local, slab_tokens, slab_sents, shrink, negs, alpha):
         u_local, v_local, loss = _sharded_slab_body(
             u_local, v_local, slab_tokens, slab_sents, shrink, negs, alpha,
-            hyper, batch_size, neg_sharing, vss)
+            hyper, batch_size, neg_sharing, vss, neg_pool=neg_pool)
         loss = lax.psum(loss, VOCAB_AXIS) / nv
         return u_local, v_local, loss
 

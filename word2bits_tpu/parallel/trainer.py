@@ -51,7 +51,7 @@ class ShardedTrainer:
         self.chunk_fn = make_sharded_chunk(
             body, hyper, self.mesh, up.shape[0], vocab_size,
             cfg.batch_size, cfg.steps_per_chunk,
-            neg_sharing=cfg.neg_sharing)
+            neg_sharing=cfg.neg_sharing, neg_pool=cfg.neg_pool)
         self.u, self.v = shard_params(jnp.asarray(up), jnp.asarray(vp),
                                       self.mesh)
 
