@@ -51,7 +51,14 @@ def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     inputs = SlabInputs(my_tokens, my_sents, my_shrink, my_negs)
     slab_ids = jnp.maximum(my_tokens, 0)
     centers = slab_ids[W:W + B]
+
+    # issue ALL vocab-axis row exchanges up front: the three gathers'
+    # psums are independent, so XLA's latency-hiding scheduler can overlap
+    # them with each other and with the mask/context compute below instead
+    # of serializing gather -> compute -> gather (ROADMAP overlap item)
     u_slab = _gather_rows(u_local, slab_ids, vocab_shard_size).astype(dt)
+    v_c = _gather_rows(v_local, centers, vocab_shard_size).astype(dt)
+    v_n = _gather_rows(v_local, my_negs, vocab_shard_size).astype(dt)
     q_slab = quantize(u_slab, bl)
 
     offsets, mask, valid = _context_masks(inputs, B, W)
@@ -60,7 +67,6 @@ def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     u_in = jnp.stack([u_slab[W + o:W + o + B] for o in offsets], axis=1)
     two_ar = 2.0 * alpha * reg
 
-    v_c = _gather_rows(v_local, centers, vocab_shard_size).astype(dt)
     q_vc = quantize(v_c, bl)
     f_pos = jnp.einsum("bod,bd->bo", q_in, q_vc)
     g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * mf
@@ -73,7 +79,6 @@ def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
         - two_ar * v_c * pair_cnt[:, None]
     din = g_pos[..., None] * q_vc[:, None, :]
 
-    v_n = _gather_rows(v_local, my_negs, vocab_shard_size).astype(dt)
     q_vn = quantize(v_n, bl)
     if neg_sharing:
         from word2bits_tpu.models.cbow_slab import pool_mask

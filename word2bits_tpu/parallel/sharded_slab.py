@@ -66,7 +66,13 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     slab_ids = jnp.maximum(my_tokens, 0)
     centers = slab_ids[W:W + B]
 
+    # issue ALL vocab-axis row exchanges up front: the three gathers'
+    # psums are independent, so XLA's latency-hiding scheduler can overlap
+    # them with each other and with the mask/context compute below instead
+    # of serializing gather -> compute -> gather (ROADMAP overlap item)
     u_slab = _gather_rows(u_local, slab_ids, vocab_shard_size).astype(dt)
+    v_c = _gather_rows(v_local, centers, vocab_shard_size).astype(dt)
+    v_n = _gather_rows(v_local, my_negs, vocab_shard_size).astype(dt)
     q_slab = quantize(u_slab, bl)
 
     offsets, mask, valid = _context_masks(inputs, B, W)
@@ -84,7 +90,6 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     loss = -reg * jnp.sum(sq_sum * af)
     two_ar = 2.0 * alpha * reg
 
-    v_c = _gather_rows(v_local, centers, vocab_shard_size).astype(dt)
     q_vc = quantize(v_c, bl)
     f_pos = jnp.sum(cavg * q_vc, axis=-1)
     g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * af
@@ -93,7 +98,6 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     cavge = g_pos[:, None] * q_vc
     dv_center = g_pos[:, None] * cavg - two_ar * v_c * af[:, None]
 
-    v_n = _gather_rows(v_local, my_negs, vocab_shard_size).astype(dt)
     q_vn = quantize(v_n, bl)
     if neg_sharing:
         from word2bits_tpu.models.cbow_slab import (from_tiles, pool_mask,
