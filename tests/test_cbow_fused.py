@@ -55,6 +55,116 @@ def test_interleave_roundtrip():
     np.testing.assert_array_equal(np.asarray(v2), v)
 
 
+def test_hot_slice_add_equals_scatter():
+    """hot_slice_add == .at[].add restricted to ids < H."""
+    from word2bits_tpu.ops.scatter import hot_slice_add
+    rng = np.random.default_rng(3)
+    V, C, N, H = 40, 8, 100, 16
+    table = rng.uniform(-1, 1, (V, C)).astype(np.float32)
+    ids = rng.integers(0, V, N).astype(np.int32)
+    rows = rng.uniform(-1, 1, (N, C)).astype(np.float32)
+    hot = ids < H
+    want = jnp.asarray(table).at[jnp.asarray(ids[hot])].add(
+        jnp.asarray(rows[hot]))
+    got = hot_slice_add(jnp.asarray(table), jnp.asarray(ids),
+                        jnp.asarray(rows), H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_cold_positions_exact_partition():
+    """cold_positions lists, per step, exactly the positions with id >= H."""
+    from word2bits_tpu.data.pipeline import cold_positions
+    rng = np.random.default_rng(7)
+    B, W, H, n_rows = 16, 3, 5, 6
+    tokens = rng.integers(-1, 30, n_rows * B + 2 * W + 11).astype(np.int32)
+    pos = cold_positions(tokens, B, W, n_rows, H, pad_mult=4)
+    span = B + 2 * W
+    for t in range(n_rows):
+        win = np.maximum(tokens[t * B:t * B + span], 0)
+        want = set(np.flatnonzero(win >= H).tolist())
+        got = [p for p in pos[t] if p >= 0]
+        assert len(got) == len(set(got)), "duplicate cold position"
+        assert set(got) == want, f"step {t}: {sorted(got)} != {sorted(want)}"
+
+
+@pytest.mark.parametrize("bitlevel", [1, 0])
+def test_fused_hot_rows_equals_baseline(bitlevel):
+    """fused step with the hot/cold scatter split == plain fused step."""
+    from word2bits_tpu.models.cbow_slab import SlabInputs
+
+    B, W, K, G, V, D, H = 32, 3, 4, 8, 50, 16, 12
+    T = B // G
+    rng = np.random.default_rng(11)
+    u = rng.uniform(-0.5, 0.5, (V, D)).astype(np.float32)
+    v = rng.uniform(-0.5, 0.5, (V, D)).astype(np.float32)
+    toks = rng.integers(-1, V, B + 2 * W).astype(np.int32)
+    sents = np.sort(rng.integers(0, 4, B + 2 * W)).astype(np.int32)
+    shrink = rng.integers(0, W, B).astype(np.int32)
+    negs = rng.integers(1, V, (T, K)).astype(np.int32)
+    inputs = SlabInputs(slab_tokens=jnp.asarray(toks),
+                        slab_sents=jnp.asarray(sents),
+                        shrink=jnp.asarray(shrink),
+                        neg_ids=jnp.asarray(negs))
+    hyper = CBOWHyper(bitlevel=bitlevel, size=D, window=W, negative=K,
+                      reg=0.01)
+    alpha = jnp.float32(0.05)
+    table0 = interleave(jnp.asarray(u), jnp.asarray(v))
+
+    base, loss1 = fused_slab_step(table0, inputs, alpha, hyper, B, G)
+
+    ids = np.maximum(toks, 0)
+    cold = np.flatnonzero(ids >= H).astype(np.int32)
+    C = max(8, ((len(cold) + 3) // 4) * 4)
+    cold_pos = np.full(C, -1, np.int32)
+    cold_pos[:len(cold)] = cold
+    got, loss2 = fused_slab_step(table0, inputs, alpha, hyper, B, G,
+                                 hot_rows=H, cold_pos=jnp.asarray(cold_pos))
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-4)
+
+
+def test_fused_hot_rows_chunk_equals_baseline():
+    """Full scan chunk with -hot-rows == baseline chunk (same key stream)."""
+    import jax
+    from word2bits_tpu.data.pipeline import build_epoch_arrays, cold_positions
+    from word2bits_tpu.models.cbow import ChunkScalars
+    from word2bits_tpu.models.cbow_fused import make_fused_train_chunk
+    from word2bits_tpu.sampling.unigram import build_alias_table
+
+    V, D, B, S, W, K, G, H = 60, 16, 32, 3, 3, 4, 8, 10
+    rng = np.random.default_rng(2)
+    counts = rng.integers(1, 100, V)
+    counts[0] = 0
+    encoded = rng.integers(0, V, 400).astype(np.int32)
+    ep = build_epoch_arrays(encoded, counts, 1e-3, 400, W,
+                            np.random.default_rng(0), capacity=512)
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.0)
+    u = rng.uniform(-0.5, 0.5, (V, 2 * D)).astype(np.float32)
+    atab = build_alias_table(np.maximum(counts, 1) ** 0.75)
+    scalars = ChunkScalars(base0=jnp.int32(W), alpha0=jnp.float32(0.05),
+                           wca_start=jnp.float32(0.0),
+                           wca_per_step=jnp.float32(B),
+                           denom=jnp.float32(2000.0))
+    key = jax.random.PRNGKey(9)
+    tokens, sents = jnp.asarray(ep.tokens), jnp.asarray(ep.sent_ids)
+
+    base_fn = make_fused_train_chunk(hyper, V, B, S, neg_sharing=G,
+                                     donate=False)
+    t1, l1 = base_fn(jnp.asarray(u), tokens, sents, atab.prob, atab.alias,
+                     scalars, key)
+
+    n_rows = 512 // B + S + 2
+    cp = jnp.asarray(cold_positions(ep.tokens, B, W, n_rows, H, pad_mult=8))
+    hot_fn = make_fused_train_chunk(hyper, V, B, S, neg_sharing=G,
+                                    donate=False, hot_rows=H)
+    t2, l2 = hot_fn(jnp.asarray(u), tokens, sents, atab.prob, atab.alias,
+                    scalars, key, cp)
+
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=1e-5)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-4)
+
+
 def test_fused_neg_pool_equals_split():
     """Fused step with neg_pool must match the split slab step with the
     same pooled negatives."""

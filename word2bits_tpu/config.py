@@ -85,6 +85,15 @@ class Word2BitsConfig:
     # the baseline modulo float ordering.  Measured on the v5e — see
     # ARCHITECTURE.md scatter section for when it wins.
     dedup_block: int = 0
+    # Hot/cold scatter split (0 = off): update rows for the hot_rows most
+    # frequent words (the vocab is count-sorted) accumulate via a one-hot
+    # MXU matmul + one dense slice update — no scatter — and the cold
+    # remainder scatters compacted to its true per-step count using
+    # positions precomputed once per epoch (data/pipeline.cold_positions).
+    # Targets XLA's per-row serialized scatter loop, the step's measured
+    # bottleneck (ARCHITECTURE.md ablation).  Fused-table CBOW single-chip
+    # path with the host epoch pipeline only.
+    hot_rows: int = 0
     # Full train-state checkpointing (extension: the reference can only
     # export vectors per epoch, not resume — SURVEY.md section 5).
     checkpoint_dir: Optional[str] = None
@@ -177,6 +186,20 @@ class Word2BitsConfig:
                     "number of centers")
         if self.use_pallas and self.model != "cbow":
             raise ValueError("use_pallas is implemented for the cbow model")
+        if self.hot_rows < 0:
+            raise ValueError(f"hot_rows must be >= 0, got {self.hot_rows}")
+        if self.hot_rows:
+            if not (self.fused_tables and self.neg_sharing
+                    and self.model == "cbow"):
+                raise ValueError(
+                    "hot_rows requires the fused-table CBOW path "
+                    "(-fused-tables 1 -neg-sharing G -model cbow)")
+            if self.device_epoch:
+                raise ValueError(
+                    "hot_rows uses host-precomputed cold positions; "
+                    "it is incompatible with -device-epoch 1")
+            if self.mesh_shape:
+                raise ValueError("hot_rows is single-chip only for now")
         if self.init not in ("reference", "uniform"):
             raise ValueError(f"init must be 'reference' or 'uniform', got {self.init!r}")
         if self.model not in ("cbow", "skipgram"):
@@ -234,6 +257,7 @@ REFERENCE_FLAGS = {
     "-use-pallas": ("use_pallas", lambda s: bool(int(s))),
     "-device-epoch": ("device_epoch", lambda s: bool(int(s))),
     "-dedup-block": ("dedup_block", int),
+    "-hot-rows": ("hot_rows", int),
     "-profile-dir": ("profile_dir", str),
     # word2vec-style spelling: -cbow 1 == cbow, -cbow 0 == skipgram
     "-cbow": ("model", lambda s: "cbow" if int(s) else "skipgram"),

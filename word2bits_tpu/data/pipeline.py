@@ -95,6 +95,51 @@ def iter_epoch_segments(encoded: np.ndarray, counts: np.ndarray, sample: float,
                                  rng, capacity=capacity)
 
 
+def cold_positions(tokens: np.ndarray, batch_size: int, window: int,
+                   n_rows: int, hot_rows: int, pad_mult: int = 256,
+                   min_width: int = 0) -> np.ndarray:
+    """Per-step compaction map for the slab scatter's *cold* rows.
+
+    For global step t the training chunk scatters the slab window
+    tokens[t*B : t*B + B+2W] (models/cbow_fused.py).  Ids < hot_rows are
+    handled densely by ops.scatter.hot_slice_add (the vocab is count-sorted,
+    so they are the frequent words); the rest must still be scattered — but
+    XLA's scatter loop pays ~per-row whether or not a row is masked, so the
+    win requires *compacting* the cold rows to their actual count.  Their
+    positions depend only on the epoch token array, so they are precomputed
+    here, once per epoch, instead of sorted in-step (in-step sort/compaction
+    was measured far too expensive — ROADMAP round-1 scatter notes).
+
+    Returns int32 [n_rows, C]: positions within each step's B+2W slab window
+    holding a token id >= hot_rows; -1 padding.  C = max cold count over the
+    epoch, rounded up to pad_mult (stable jit shapes across chunks; across
+    epochs C can change bucket and trigger one recompile — rare in practice).
+    Memory: ~2·C/B int32 per corpus token; intended for text8-scale segments
+    (at 2^28-token streamed segments this is a few hundred MB — disable
+    -hot-rows there or shrink -segment-tokens).
+    """
+    B, W = int(batch_size), int(window)
+    span = B + 2 * W
+    ids = np.maximum(np.asarray(tokens, np.int32), 0)
+    need = n_rows * B + 2 * W
+    if len(ids) < need:  # right margin for the final (padding-only) steps
+        ids = np.concatenate([ids, np.zeros(need - len(ids), np.int32)])
+    windows = np.lib.stride_tricks.sliding_window_view(ids, span)[::B][:n_rows]
+    cold = windows >= hot_rows                       # [n_rows, span] (a view)
+    counts = cold.sum(axis=1)
+    C = max(int(counts.max(initial=0)), min_width, 1)
+    C = ((C + pad_mult - 1) // pad_mult) * pad_mult
+    out = np.full((n_rows, C), -1, np.int32)
+    # batched stable argsort floats cold positions first per row
+    w = min(C, span)  # C may exceed span when min_width demands it
+    for lo in range(0, n_rows, 1024):
+        hi = min(lo + 1024, n_rows)
+        order = np.argsort(~cold[lo:hi], axis=1, kind="stable")[:, :w]
+        ok = np.take_along_axis(cold[lo:hi], order, axis=1)
+        out[lo:hi, :w] = np.where(ok, order, -1).astype(np.int32)
+    return out
+
+
 def build_epoch_arrays(encoded: np.ndarray, counts: np.ndarray, sample: float,
                        train_words: int, window: int, rng: np.random.Generator,
                        capacity: int | None = None,

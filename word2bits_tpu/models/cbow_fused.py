@@ -47,7 +47,7 @@ def deinterleave(table):
 def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                     batch_size: int, neg_sharing: int,
                     use_pallas: bool = False, dedup_block: int = 0,
-                    neg_pool: int = 1):
+                    neg_pool: int = 1, hot_rows: int = 0, cold_pos=None):
     """One synchronous step on the fused (V, 2D) table. Shared negatives
     required (the fused layout exists for the optimized path).
     use_pallas routes the negative score/gradient phase through the fused
@@ -156,7 +156,23 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     else:
         def scat(tab, ids, rows):
             return tab.at[ids].add(rows.astype(tab.dtype))
-    table = scat(table, slab_ids, fused_rows)
+    if hot_rows:
+        # hot/cold split: frequent rows (id < hot_rows — the vocab is
+        # count-sorted) accumulate via a one-hot MXU matmul + dense slice
+        # update; the cold remainder scatters COMPACTED to its true count
+        # using epoch-precomputed positions (data/pipeline.cold_positions) —
+        # XLA's scatter loop pays per emitted row, masked or not, so the
+        # saving requires real compaction, not masking.
+        from word2bits_tpu.ops.scatter import hot_slice_add
+        table = hot_slice_add(table, slab_ids, fused_rows, hot_rows)
+        ok = cold_pos >= 0
+        posc = jnp.maximum(cold_pos, 0)
+        ids_cold = jnp.where(ok, slab_ids[posc], jnp.int32(0x7FFFFFF0))
+        table = table.at[ids_cold].add(
+            fused_rows[posc].astype(table.dtype), mode="drop",
+            unique_indices=False)
+    else:
+        table = scat(table, slab_ids, fused_rows)
     # ... plus the negative-row scatter (u-half zero)
     neg_rows = jnp.concatenate(
         [jnp.zeros(dv_neg.reshape(-1, D).shape, dt), dv_neg.reshape(-1, D)],
@@ -168,16 +184,23 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
 def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                            steps: int, neg_sharing: int,
                            donate: bool = True, use_pallas: bool = False,
-                           dedup_block: int = 0, neg_pool: int = 1):
-    """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key)
-    -> (table, loss_sum); table is the fused (V, 2D) array."""
+                           dedup_block: int = 0, neg_pool: int = 1,
+                           hot_rows: int = 0):
+    """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key
+    [, cold_pos]) -> (table, loss_sum); table is the fused (V, 2D) array.
+
+    With hot_rows > 0 the trailing cold_pos argument is REQUIRED: the
+    int32 [n_steps, C] per-step cold-row compaction map from
+    data.pipeline.cold_positions (global step t = (base0 - W)//B + s indexes
+    its rows)."""
     from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
 
     B, W, K = batch_size, hyper.window, hyper.negative
     P = neg_pool if (neg_pool and neg_pool > 1) else 1
     neg_rows = batch_size // neg_sharing
+    hot_rows = min(int(hot_rows), vocab_size)
 
-    def one_step(table, s, k, tokens, sent_ids, atab, scalars):
+    def one_step(table, s, k, tokens, sent_ids, atab, scalars, cold_pos):
         k_neg, k_win = jax.random.split(k)
         base = scalars.base0 + s * B
         wca = scalars.wca_start + s.astype(jnp.float32) * scalars.wca_per_step
@@ -189,9 +212,15 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
         negs = draw_negatives(k_neg, atab, (neg_rows, P * K), vocab_size)
         inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
                             shrink=shrink, neg_ids=negs)
+        cp = None
+        if hot_rows:
+            t = jnp.clip((base - W) // B, 0, cold_pos.shape[0] - 1)
+            cp = lax.dynamic_slice(cold_pos, (t, 0),
+                                   (1, cold_pos.shape[1]))[0]
         return fused_slab_step(table, inputs, alpha, hyper, B, neg_sharing,
                                use_pallas=use_pallas,
-                               dedup_block=dedup_block, neg_pool=P)
+                               dedup_block=dedup_block, neg_pool=P,
+                               hot_rows=hot_rows, cold_pos=cp)
 
     if steps == 1:
         # No-scan capacity path: lax.scan double-buffers the carried table
@@ -201,16 +230,17 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
         # Dispatch latency is amortized by a large batch_size and by the
         # train loop never fetching loss mid-segment.
         def chunk1(table, tokens, sent_ids, alias_prob, alias_alias,
-                   scalars, key):
+                   scalars, key, cold_pos=None):
             atab = AliasTable(prob=alias_prob, alias=alias_alias)
             # same key-split structure as the scan path (steps=1)
             k = jax.random.split(key, 1)[0]
             return one_step(table, jnp.int32(0), k, tokens, sent_ids,
-                            atab, scalars)
+                            atab, scalars, cold_pos)
 
         return jax.jit(chunk1, donate_argnums=(0,) if donate else ())
 
-    def chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key):
+    def chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key,
+              cold_pos=None):
         atab = AliasTable(prob=alias_prob, alias=alias_alias)
         keys = jax.random.split(key, steps)
 
@@ -218,7 +248,7 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
             table, loss = carry
             s, k = xs
             table, step_loss = one_step(table, s, k, tokens, sent_ids,
-                                        atab, scalars)
+                                        atab, scalars, cold_pos)
             return (table, loss + step_loss), None
 
         xs = (jnp.arange(steps, dtype=jnp.int32), keys)

@@ -74,6 +74,34 @@ def scatter_add_dedup(table, ids, rows, block: int = 1024):
     return table
 
 
+def hot_slice_add(table, ids, rows, hot_rows: int):
+    """Accumulate every row whose id < hot_rows into table[:hot_rows] with a
+    one-hot MXU matmul + one dense slice update — no scatter at all.
+
+    The vocab is count-sorted (reference SortVocab, src/word2bits.cpp:215-242),
+    so ids < hot_rows are exactly the most frequent words: the rows that carry
+    most of the duplicate mass that serializes XLA's scatter loop.  Rows with
+    id >= hot_rows contribute zero one-hot columns and are untouched — the
+    caller scatters them separately (ideally compacted, see
+    data/pipeline.cold_positions).
+
+    table [V, C]; ids [N] int32; rows [N, C] float.  Duplicate hot ids are
+    summed in float32 by the matmul (at least as accurate as the baseline's
+    one-by-one accumulation into a possibly-bf16 table).
+    """
+    H = int(hot_rows)
+    onehot = ids[:, None] == jnp.arange(H, dtype=ids.dtype)[None, :]  # [N, H]
+    # bf16 operands when the table is bf16 (the updates get rounded to bf16
+    # on store anyway); full precision for f32 tables
+    mm_dt = jnp.bfloat16 if table.dtype == jnp.bfloat16 else rows.dtype
+    hot = jax.lax.dot_general(
+        onehot.astype(mm_dt), rows.astype(mm_dt),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    head = table[:H].astype(jnp.float32) + hot
+    return jax.lax.dynamic_update_slice(table, head.astype(table.dtype),
+                                        (0, 0))
+
+
 def scatter_add_sorted(table, ids, rows):
     """Sort ids, permute rows by gather (vectorized), then scatter with
     indices_are_sorted=True.  Duplicates remain; measures whether XLA's

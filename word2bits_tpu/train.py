@@ -117,11 +117,19 @@ def train(cfg: Word2BitsConfig,
                                           neg_sharing=cfg.neg_sharing,
                                           use_pallas=cfg.use_pallas,
                                           dedup_block=cfg.dedup_block,
-                                          neg_pool=cfg.neg_pool)
+                                          neg_pool=cfg.neg_pool,
+                                          hot_rows=cfg.hot_rows)
+        # -hot-rows: the per-segment cold-row compaction map, updated by the
+        # segment loop below (an explicit jit arg; the holder just threads it
+        # through this fixed chunk_fn signature)
+        seg_cold = {"pos": None}
 
         def chunk_fn(u_, v_, *args):
             # u_ carries the fused table; v_ is a zero-size sentinel
-            table_, loss_ = fused_fn(u_, *args)
+            if cfg.hot_rows:
+                table_, loss_ = fused_fn(u_, *args, seg_cold["pos"])
+            else:
+                table_, loss_ = fused_fn(u_, *args)
             return table_, v_, loss_
 
         u = interleave(u, v)
@@ -160,6 +168,7 @@ def train(cfg: Word2BitsConfig,
 
     epoch_losses: List[float] = []
     total_steps = 0
+    cold_width = [0]  # -hot-rows: grows monotonically across segments/epochs
 
     # device-side epoch preparation (-device-epoch 1): upload the encoded
     # corpus once; per-epoch subsample+compact+sentence-id runs as one jitted
@@ -213,6 +222,14 @@ def train(cfg: Word2BitsConfig,
                                               cfg.sample, train_words, W,
                                               epoch_rng, seg_tokens,
                                               capacity=capacity):
+                    if cfg.hot_rows:
+                        from word2bits_tpu.data.pipeline import cold_positions
+                        n_rows = capacity // B + S + 2
+                        cp = cold_positions(ea.tokens, B, W, n_rows,
+                                            cfg.hot_rows,
+                                            min_width=cold_width[0])
+                        cold_width[0] = cp.shape[1]  # stable width => 1 jit
+                        seg_cold["pos"] = jnp.asarray(cp)
                     yield (jnp.asarray(ea.tokens), jnp.asarray(ea.sent_ids),
                            ea.n_tokens, ea.source_len)
 
