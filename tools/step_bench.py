@@ -74,6 +74,9 @@ def main():
             yield (f"fused-dedup{M}", B,
                    dict(neg_sharing=G, dedup_block=M), "fused")
         yield "fused-pallas", B, dict(neg_sharing=G, use_pallas=True), "fused"
+        for H in (1024, 4096, 16384):
+            yield (f"fused-hot{H}", B,
+                   dict(neg_sharing=G, hot_rows=H), "fused")
         Bp = 2048
         yield "percenter", Bp, dict(neg_sharing=0), "slab"
         for M in (1024, 2048):
@@ -103,11 +106,18 @@ def main():
                 fn = make_slab_train_chunk(hyper, V, B, S, **kw)
                 params = (u0, v0)
 
+            extra = ()
+            if kw.get("hot_rows"):
+                from word2bits_tpu.data.pipeline import cold_positions
+                n_rows = len(ep.tokens) // B + S + 2
+                extra = (jnp.asarray(cold_positions(
+                    ep.tokens, B, W, n_rows, kw["hot_rows"])),)
+
             key = jax.random.PRNGKey(0)
             t0 = time.perf_counter()
             key, sub = jax.random.split(key)
             out = fn(*params, tokens, sents, atab.prob, atab.alias,
-                     scalars(0), sub)
+                     scalars(0), sub, *extra)
             params, loss = out[:-1], out[-1]
             float(loss)
             compile_s = time.perf_counter() - t0
@@ -118,7 +128,7 @@ def main():
                 for _ in range(8):
                     key, sub = jax.random.split(key)
                     out = fn(*params, tokens, sents, atab.prob, atab.alias,
-                             scalars(chunks), sub)
+                             scalars(chunks), sub, *extra)
                     params, loss = out[:-1], out[-1]
                     chunks += 1
                 float(loss)
