@@ -44,3 +44,36 @@ def test_fused_same_trajectory_as_split(tmp_path):
     r_fused = train(Word2BitsConfig(fused_tables=True, **base))
     np.testing.assert_allclose(r_fused.u, r_split.u, atol=1e-5)
     np.testing.assert_allclose(r_fused.v, r_split.v, atol=1e-5)
+
+
+def test_hot_rows_same_trajectory(tmp_path):
+    """-hot-rows N (hot/cold scatter split) must not change the trained
+    params vs the plain fused path (same key stream; summation order only)."""
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=80)
+    base = dict(train_file=corpus, output_file=str(tmp_path / "o"),
+                bitlevel=1, size=8, window=2, negative=4, iter=2, min_count=1,
+                batch_size=16, steps_per_chunk=4, neg_sharing=8,
+                fused_tables=True, debug=0)
+    r_plain = train(Word2BitsConfig(**base))
+    r_hot = train(Word2BitsConfig(hot_rows=6, **base))
+    np.testing.assert_allclose(r_hot.u, r_plain.u, atol=1e-5)
+    np.testing.assert_allclose(r_hot.v, r_plain.v, atol=1e-5)
+
+
+def test_hot_rows_streaming_segments(tmp_path):
+    """-hot-rows with a streamed corpus (multiple segments per epoch): the
+    per-segment cold-position maps keep a stable width and the run matches
+    the unstreamed hot-rows run."""
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=80)
+    base = dict(train_file=corpus, output_file=str(tmp_path / "o"),
+                bitlevel=1, size=8, window=2, negative=4, iter=2, min_count=1,
+                batch_size=16, steps_per_chunk=2, neg_sharing=8,
+                fused_tables=True, hot_rows=6, debug=0)
+    r_whole = train(Word2BitsConfig(**base))
+    r_seg = train(Word2BitsConfig(segment_tokens=256, **base))
+    # segment boundaries change batch composition (seam slop), so only the
+    # run-level health is comparable; exactness is covered above
+    assert np.isfinite(r_seg.epoch_losses).all()
+    assert r_seg.u.shape == r_whole.u.shape
