@@ -196,3 +196,134 @@ def test_fused_neg_pool_equals_split():
     np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+
+def _strat_inputs(rng, B, W, K, P, G, V, H, kh):
+    """SlabInputs whose neg ids follow the stratified per-pool lane layout:
+    first kh lanes of each pool < H (and > 0), rest >= H."""
+    from word2bits_tpu.models.cbow_slab import SlabInputs
+    T = B // G
+    toks = rng.integers(-1, V, B + 2 * W).astype(np.int32)
+    sents = np.sort(rng.integers(0, 4, B + 2 * W)).astype(np.int32)
+    shrink = rng.integers(0, W, B).astype(np.int32)
+    negs = np.zeros((T, P, K), np.int32)
+    negs[:, :, :kh] = rng.integers(1, H, (T, P, kh))
+    negs[:, :, kh:] = rng.integers(H, V, (T, P, K - kh))
+    return SlabInputs(slab_tokens=jnp.asarray(toks),
+                      slab_sents=jnp.asarray(sents),
+                      shrink=jnp.asarray(shrink),
+                      neg_ids=jnp.asarray(negs.reshape(T, P * K)))
+
+
+def test_stratified_unit_weights_equal_baseline():
+    """strat_lanes with w_hot = w_cold = 1 and the same neg ids must be the
+    identity transformation of the step math."""
+    B, W, K, G, V, D, H, kh = 32, 3, 6, 8, 50, 16, 12, 4
+    rng = np.random.default_rng(5)
+    u = rng.uniform(-0.5, 0.5, (V, 2 * D)).astype(np.float32)
+    inputs = _strat_inputs(rng, B, W, K, 1, G, V, H, kh)
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.01)
+    alpha = jnp.float32(0.05)
+    t0 = jnp.asarray(u)
+    base, l1 = fused_slab_step(t0, inputs, alpha, hyper, B, G)
+    got, l2 = fused_slab_step(t0, inputs, alpha, hyper, B, G,
+                              strat_lanes=(kh, 1.0, 1.0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-6)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+
+
+@pytest.mark.parametrize("neg_pool", [1, 2])
+def test_stratified_hot_scatter_equals_plain_scatter(neg_pool):
+    """With stratified lanes, the hot/cold scatter routing (dense hot
+    accumulation + compact cold scatter) must equal the plain scatter."""
+    from word2bits_tpu.data.pipeline import cold_positions
+
+    B, W, K, G, V, D, H, kh = 32, 3, 6, 8, 50, 16, 12, 4
+    P = neg_pool
+    rng = np.random.default_rng(8)
+    u = rng.uniform(-0.5, 0.5, (V, 2 * D)).astype(np.float32)
+    inputs = _strat_inputs(rng, B, W, K, P, G, V, H, kh)
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.01)
+    alpha = jnp.float32(0.05)
+    t0 = jnp.asarray(u)
+    lanes = (kh, 1.37, 0.81)  # non-unit weights exercise the m3 fold
+    base, l1 = fused_slab_step(t0, inputs, alpha, hyper, B, G,
+                               neg_pool=P, strat_lanes=lanes)
+
+    ids = np.maximum(np.asarray(inputs.slab_tokens), 0)
+    cold = np.flatnonzero(ids >= H).astype(np.int32)
+    C = max(8, ((len(cold) + 3) // 4) * 4)
+    cp = np.full(C, -1, np.int32)
+    cp[:len(cold)] = cold
+    got, l2 = fused_slab_step(t0, inputs, alpha, hyper, B, G,
+                              neg_pool=P, strat_lanes=lanes, hot_rows=H,
+                              cold_pos=jnp.asarray(cp))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+
+
+def test_dense_hot_equals_weighted_expectation_oracle():
+    """Dense-hot negatives == the exact weighted sum over every hot word.
+
+    The negative phase is additive across lanes given fixed inputs, and a
+    negative equal to the center is fully masked (the reference skip quirk),
+    so with G=1, K=1 the plain step gives exact per-negative deltas:
+      step(neg=h) - step(neg=center)  ==  contribution of one draw of h.
+    The dense-hot step must equal base + sum_h hot_w[h]*delta(h)
+    + w_cold*delta(cold_j) for the sampled cold lanes."""
+    from word2bits_tpu.data.pipeline import cold_positions
+    from word2bits_tpu.models.cbow_slab import SlabInputs
+
+    B, W, V, D, H = 8, 2, 30, 8, 10
+    rng = np.random.default_rng(17)
+    u = rng.uniform(-0.5, 0.5, (V, 2 * D)).astype(np.float32)
+    toks = rng.integers(-1, V, B + 2 * W).astype(np.int32)
+    sents = np.sort(rng.integers(0, 3, B + 2 * W)).astype(np.int32)
+    shrink = rng.integers(0, W, B).astype(np.int32)
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=4, reg=0.01)
+    alpha = jnp.float32(0.07)
+    t0 = jnp.asarray(u)
+    centers = np.maximum(toks[W:W + B], 0)
+
+    def plain(neg_col):
+        """G=1: per-center tiles; one negative lane holding neg_col."""
+        inp = SlabInputs(slab_tokens=jnp.asarray(toks),
+                         slab_sents=jnp.asarray(sents),
+                         shrink=jnp.asarray(shrink),
+                         neg_ids=jnp.asarray(neg_col.reshape(B, 1)))
+        h1 = CBOWHyper(bitlevel=1, size=D, window=W, negative=1, reg=0.01)
+        tab, loss = fused_slab_step(t0, inp, alpha, h1, B, 1)
+        return np.asarray(tab, np.float64), float(loss)
+
+    base_tab, base_loss = plain(centers)  # all lanes masked by skip-center
+    kc, w_cold = 2, 1.37
+    hot_w = (0.05 + rng.uniform(0, 0.3, H)).astype(np.float32)
+    hot_w[0] = 0.0  # id 0 is never drawn
+    cold_draws = rng.integers(H, V, (B, kc)).astype(np.int32)
+
+    want_tab = base_tab.copy()
+    want_loss = base_loss
+    for h in range(1, H):
+        tab_h, loss_h = plain(np.full(B, h, np.int32))
+        want_tab += hot_w[h] * (tab_h - base_tab)
+        want_loss += hot_w[h] * (loss_h - base_loss)
+    for j in range(kc):
+        tab_c, loss_c = plain(cold_draws[:, j])
+        want_tab += w_cold * (tab_c - base_tab)
+        want_loss += w_cold * (loss_c - base_loss)
+
+    # dense-hot step with the same cold draws (G=1, kc lanes)
+    ids = np.maximum(toks, 0)
+    cold = np.flatnonzero(ids >= H).astype(np.int32)
+    cp = np.full(max(8, len(cold)), -1, np.int32)
+    cp[:len(cold)] = cold
+    inp = SlabInputs(slab_tokens=jnp.asarray(toks),
+                     slab_sents=jnp.asarray(sents),
+                     shrink=jnp.asarray(shrink),
+                     neg_ids=jnp.asarray(cold_draws))
+    h_kc = CBOWHyper(bitlevel=1, size=D, window=W, negative=kc, reg=0.01)
+    got, got_loss = fused_slab_step(t0, inp, alpha, h_kc, B, 1,
+                                    hot_rows=H, cold_pos=jnp.asarray(cp),
+                                    dense_hot=(w_cold, hot_w))
+    np.testing.assert_allclose(np.asarray(got), want_tab, atol=2e-5)
+    np.testing.assert_allclose(float(got_loss), want_loss, rtol=1e-4)

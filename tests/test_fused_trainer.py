@@ -77,3 +77,41 @@ def test_hot_rows_streaming_segments(tmp_path):
     # run-level health is comparable; exactness is covered above
     assert np.isfinite(r_seg.epoch_losses).all()
     assert r_seg.u.shape == r_whole.u.shape
+
+
+def test_neg_stratify_trains_and_converges(tmp_path):
+    """-neg-stratify 1 -hot-rows H: full training runs and learns; output
+    vectors stay reference-format."""
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=120)
+    out = str(tmp_path / "v.bin")
+    cfg = Word2BitsConfig(
+        train_file=corpus, output_file=out, binary=True, bitlevel=1,
+        size=16, window=2, negative=6, iter=3, min_count=1,
+        batch_size=32, steps_per_chunk=4, neg_sharing=8, fused_tables=True,
+        hot_rows=8, neg_stratify=True, debug=0)
+    result = train(cfg)
+    assert result.epoch_losses[-1] > result.epoch_losses[0]
+    from word2bits_tpu.io.vectors import read_vectors
+    words, vecs = read_vectors(out)
+    third = np.float32(1.0) / np.float32(3.0)
+    assert set(np.unique(vecs)) <= {third, -third}
+
+
+def test_neg_dense_hot_trains_and_converges(tmp_path):
+    """-neg-dense-hot 1 -hot-rows H: exact hot-stratum negatives; full run
+    learns, reference-format output."""
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=120)
+    out = str(tmp_path / "v.bin")
+    cfg = Word2BitsConfig(
+        train_file=corpus, output_file=out, binary=True, bitlevel=1,
+        size=16, window=2, negative=6, iter=3, min_count=1,
+        batch_size=32, steps_per_chunk=4, neg_sharing=8, fused_tables=True,
+        hot_rows=8, neg_dense_hot=True, debug=0)
+    result = train(cfg)
+    assert result.epoch_losses[-1] > result.epoch_losses[0]
+    from word2bits_tpu.io.vectors import read_vectors
+    words, vecs = read_vectors(out)
+    third = np.float32(1.0) / np.float32(3.0)
+    assert set(np.unique(vecs)) <= {third, -third}

@@ -53,3 +53,65 @@ def test_draw_shape_and_range():
     assert d.shape == (8, 4)
     arr = np.asarray(d)
     assert arr.min() >= 1 and arr.max() < 3
+
+
+class TestStratifiedSampler:
+    def _weights(self, V=2000, seed=0):
+        rng = np.random.default_rng(seed)
+        counts = np.sort(rng.zipf(1.2, 4 * V))[::-1][:V].astype(np.float64)
+        counts[0] = counts[1]
+        return counts ** 0.75
+
+    def test_lane_structure_and_ranges(self):
+        from word2bits_tpu.sampling.unigram import (
+            build_stratified_tables, draw_negatives_stratified)
+        w = self._weights()
+        st = build_stratified_tables(w, 64)
+        kh, wh, wc = st.lane_split(12)
+        ids = np.asarray(draw_negatives_stratified(
+            jax.random.PRNGKey(0), st.hot, st.cold, 50, 2, 12, kh,
+            64)).reshape(50, 2, 12)
+        assert (ids[:, :, :kh] > 0).all() and (ids[:, :, :kh] < 64).all()
+        assert (ids[:, :, kh:] >= 64).all() and (ids[:, :, kh:] < 2000).all()
+
+    def test_weighted_marginal_matches_effective_distribution(self):
+        """Importance-weighted stratified histogram == the plain sampler's
+        effective distribution (alias dist + remap-0 fold-in)."""
+        from word2bits_tpu.sampling.unigram import (
+            build_stratified_tables, draw_negatives_stratified)
+        V, H, K = 2000, 64, 24
+        w = self._weights(V)
+        st = build_stratified_tables(w, H)
+        kh, wh, wc = st.lane_split(K)
+        n = 40_000
+        ids = np.asarray(draw_negatives_stratified(
+            jax.random.PRNGKey(3), st.hot, st.cold, n, 1, K, kh, H))
+        lane_w = np.where(np.arange(K) < kh, wh, wc)
+        weff = w.copy()
+        weff[1:] += weff[0] / (V - 1)
+        weff[0] = 0.0
+        weff /= weff.sum()
+        lw = np.broadcast_to(lane_w, ids.shape)
+        assert ids[0].shape == (K,)
+        for lo, hi in [(1, 10), (10, H), (H, 400), (400, V)]:
+            m = (ids >= lo) & (ids < hi)
+            got = lw[m].sum() / lw.sum()
+            want = weff[lo:hi].sum()
+            assert abs(got - want) < 0.01, (lo, hi, got, want)
+        assert not (ids == 0).any()
+
+    def test_lane_split_edges(self):
+        from word2bits_tpu.sampling.unigram import build_stratified_tables
+        w = self._weights()
+        # H >= V: everything hot, weights exactly 1
+        st = build_stratified_tables(w, 5000)
+        kh, wh, wc = st.lane_split(8)
+        assert (kh, wh, wc) == (8, 1.0, 0.0)
+        # tiny H: hot stratum still gets >= 1 lane
+        st2 = build_stratified_tables(w, 2)
+        kh2, wh2, wc2 = st2.lane_split(8)
+        assert 1 <= kh2 <= 7 and wh2 > 0 and wc2 > 0
+        # unbiasedness identity: kh*wh + (K-kh)*wc == K
+        for st_, K in ((st2, 8), (build_stratified_tables(w, 64), 24)):
+            kh_, wh_, wc_ = st_.lane_split(K)
+            assert abs(kh_ * wh_ + (K - kh_) * wc_ - K) < 1e-9

@@ -77,6 +77,12 @@ def main():
         for H in (1024, 4096, 16384):
             yield (f"fused-hot{H}", B,
                    dict(neg_sharing=G, hot_rows=H), "fused")
+        for H in (1024, 4096):
+            yield (f"fused-strat{H}", B,
+                   dict(neg_sharing=G, hot_rows=H, stratify=True), "fused")
+        for H in (1024, 4096):
+            yield (f"fused-dense{H}", B,
+                   dict(neg_sharing=G, hot_rows=H, densehot=True), "fused")
         Bp = 2048
         yield "percenter", Bp, dict(neg_sharing=0), "slab"
         for M in (1024, 2048):
@@ -99,6 +105,21 @@ def main():
                 denom=jnp.float32(denom))
 
         try:
+            ap, aa = atab.prob, atab.alias
+            stratify = kw.pop("stratify", False)
+            densehot = kw.pop("densehot", False)
+            if stratify or densehot:
+                from word2bits_tpu.sampling.unigram import (
+                    build_stratified_tables)
+                st = build_stratified_tables(
+                    np.maximum(counts, 1) ** 0.75, kw["hot_rows"])
+                if stratify:
+                    kw["strat_lanes"] = st.lane_split(CFG["negative"])
+                    ap = (st.hot.prob, st.cold.prob)
+                    aa = (st.hot.alias, st.cold.alias)
+                else:
+                    kw["dense_hot"] = st.dense_split(CFG["negative"])
+                    ap, aa = st.cold.prob, st.cold.alias
             if fam == "fused":
                 fn = make_fused_train_chunk(hyper, V, B, S, **kw)
                 params = (interleave(u0, v0),)
@@ -116,7 +137,7 @@ def main():
             key = jax.random.PRNGKey(0)
             t0 = time.perf_counter()
             key, sub = jax.random.split(key)
-            out = fn(*params, tokens, sents, atab.prob, atab.alias,
+            out = fn(*params, tokens, sents, ap, aa,
                      scalars(0), sub, *extra)
             params, loss = out[:-1], out[-1]
             float(loss)
@@ -127,7 +148,7 @@ def main():
             while True:
                 for _ in range(8):
                     key, sub = jax.random.split(key)
-                    out = fn(*params, tokens, sents, atab.prob, atab.alias,
+                    out = fn(*params, tokens, sents, ap, aa,
                              scalars(chunks), sub, *extra)
                     params, loss = out[:-1], out[-1]
                     chunks += 1

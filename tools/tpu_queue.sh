@@ -1,0 +1,28 @@
+#!/bin/bash
+# Run the round's queued TPU measurements in order, logging each to its own
+# file under /tmp/tpu_runs.  Intended to be chained after tools/tunnel_probe.sh
+# succeeds.  Each job runs in its own process under timeout; a failure does
+# not stop the queue (the tunnel may re-wedge mid-queue — later jobs retry
+# their own first dispatch).
+set -u
+OUT=/tmp/tpu_runs
+mkdir -p "$OUT"
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+
+run() {
+  local name=$1; shift
+  echo "$(date +%H:%M:%S) START $name" >> "$OUT/queue.log"
+  timeout "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
+  echo "$(date +%H:%M:%S) END $name rc=$?" >> "$OUT/queue.log"
+}
+
+# 1. step-variant decisions (one process, many variants; biggest info/second)
+run step_bench 1800 python tools/step_bench.py
+# 2. scatter microbench (informs ARCHITECTURE scatter table)
+run scatter_bench 1200 python tools/scatter_bench.py
+# 3. full-Wikipedia single-chip capacity probe (VERDICT missing #5)
+run capacity_3.7M 1200 python tools/capacity_probe.py 3700000 800 16384
+# 4. the round's headline: bench.py (self-supervising, retries internally)
+run bench 3600 python bench.py
+echo "$(date +%H:%M:%S) QUEUE DONE" >> "$OUT/queue.log"

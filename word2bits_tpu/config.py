@@ -94,6 +94,20 @@ class Word2BitsConfig:
     # bottleneck (ARCHITECTURE.md ablation).  Fused-table CBOW single-chip
     # path with the host epoch pipeline only.
     hot_rows: int = 0
+    # Stratified hot/cold negative sampling (with -hot-rows H): each pool of
+    # K negatives draws a FIXED kh hot lanes (id < H) and K-kh cold, with
+    # importance weights restoring the exact unigram^0.75 expectation
+    # (sampling/unigram.build_stratified_tables).  Hot lanes join the dense
+    # MXU accumulation; only the few cold lanes scatter.  Distribution-level
+    # divergence from iid draws, documented in the sampler.
+    neg_stratify: bool = False
+    # Dense hot negatives (with -hot-rows H): the hot stratum of the
+    # negative distribution is computed EXACTLY — every center scores
+    # against all H frequent words with weight K*P(draw) via [B,H] MXU
+    # contractions (Rao-Blackwellized NEG: same expected gradient, zero
+    # sampling variance for ~90% of the negative mass, per-center exact).
+    # Only the cold tail stays sampled.  See models/cbow_fused.py.
+    neg_dense_hot: bool = False
     # Full train-state checkpointing (extension: the reference can only
     # export vectors per epoch, not resume — SURVEY.md section 5).
     checkpoint_dir: Optional[str] = None
@@ -200,6 +214,20 @@ class Word2BitsConfig:
                     "it is incompatible with -device-epoch 1")
             if self.mesh_shape:
                 raise ValueError("hot_rows is single-chip only for now")
+        if self.neg_stratify or self.neg_dense_hot:
+            which = "neg_stratify" if self.neg_stratify else "neg_dense_hot"
+            if self.neg_stratify and self.neg_dense_hot:
+                raise ValueError(
+                    "neg_stratify and neg_dense_hot are exclusive "
+                    "(dense-hot subsumes the stratified hot lanes)")
+            if not self.hot_rows:
+                raise ValueError(
+                    f"{which} requires -hot-rows H (it exists to route "
+                    "hot negatives through the dense accumulation)")
+            if self.use_pallas:
+                raise ValueError(
+                    f"{which} is not threaded into the Pallas score "
+                    "kernel; drop -use-pallas")
         if self.init not in ("reference", "uniform"):
             raise ValueError(f"init must be 'reference' or 'uniform', got {self.init!r}")
         if self.model not in ("cbow", "skipgram"):
@@ -258,6 +286,8 @@ REFERENCE_FLAGS = {
     "-device-epoch": ("device_epoch", lambda s: bool(int(s))),
     "-dedup-block": ("dedup_block", int),
     "-hot-rows": ("hot_rows", int),
+    "-neg-stratify": ("neg_stratify", lambda s: bool(int(s))),
+    "-neg-dense-hot": ("neg_dense_hot", lambda s: bool(int(s))),
     "-profile-dir": ("profile_dir", str),
     # word2vec-style spelling: -cbow 1 == cbow, -cbow 0 == skipgram
     "-cbow": ("model", lambda s: "cbow" if int(s) else "skipgram"),

@@ -47,11 +47,17 @@ def deinterleave(table):
 def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                     batch_size: int, neg_sharing: int,
                     use_pallas: bool = False, dedup_block: int = 0,
-                    neg_pool: int = 1, hot_rows: int = 0, cold_pos=None):
+                    neg_pool: int = 1, hot_rows: int = 0, cold_pos=None,
+                    strat_lanes=None, dense_hot=None):
     """One synchronous step on the fused (V, 2D) table. Shared negatives
     required (the fused layout exists for the optimized path).
     use_pallas routes the negative score/gradient phase through the fused
     Pallas kernel (kernels/score_pallas.py); same math, tested equal.
+    strat_lanes = (kh, w_hot, w_cold) marks inputs.neg_ids as stratified
+    draws (sampling/unigram.draw_negatives_stratified): per pool of K lanes
+    the first kh are hot (id < hot_rows); the importance weights fold into
+    the negative mask, and with hot_rows > 0 the hot lanes join the dense
+    accumulation while only the K-kh cold lanes scatter.
     Returns (table, loss)."""
     if not neg_sharing:
         raise ValueError("fused table step requires neg_sharing > 0")
@@ -98,8 +104,9 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
 
     # shared negatives (strided tiles), v-half gathered from the fused table
     P = neg_pool if neg_pool and neg_pool > 1 else 1
-    negs = inputs.neg_ids                                  # [T, P*K]
-    v_n = table[negs][..., D:].astype(dt)                  # [T, P*K, D]
+    negs = inputs.neg_ids              # [T, P*Kl]; Kl = lanes per pool
+    Kl = negs.shape[1] // P            # == K, or kc under dense_hot
+    v_n = table[negs][..., D:].astype(dt)                  # [T, P*Kl, D]
     cavg3 = to_tiles(cavg, T, G)
     af3 = to_tiles(af, T, G)
     centers3 = to_tiles(centers, T, G)
@@ -119,7 +126,15 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         skip = negs[:, None, :] != centers3[:, :, None]
         m3 = skip.astype(dt) * af3[:, :, None]
         if P > 1:
-            m3 = m3 * pool_mask(G, K, P, dt)[None]
+            m3 = m3 * pool_mask(G, Kl, P, dt)[None]
+        if strat_lanes is not None:
+            kh, w_hot, w_cold = strat_lanes
+            lane_w = jnp.tile(jnp.where(jnp.arange(Kl) < kh,
+                                        jnp.float32(w_hot),
+                                        jnp.float32(w_cold)), P)
+            m3 = m3 * lane_w[None, None, :]
+        if dense_hot is not None:
+            m3 = m3 * jnp.float32(dense_hot[0])  # cold importance weight
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
         loss = loss + jnp.sum(
@@ -131,6 +146,38 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                                  preferred_element_type=jnp.float32)
         visits = jnp.sum(m3, axis=1)
         dv_neg = dv_neg - two_ar * v_n * visits[:, :, None]
+
+    dv_hot = None
+    if dense_hot is not None:
+        # Dense hot negatives (extension; Rao-Blackwellized NEG): the hot
+        # stratum's K*p_hot expected draws are replaced by their exact
+        # expectation — every center scores against ALL hot_rows frequent
+        # words with per-word weight hot_w[h] = K * P(draw h), three
+        # [B,H]-shaped MXU contractions.  Same expected gradient/loss as
+        # sampling (the per-draw update is linear in the draw indicator);
+        # zero sampling variance for ~90+% of the negative mass, and
+        # per-center exact where pooled sampling shares draws.  The skip-
+        # center quirk (reference src/word2bits.cpp:458) becomes an exact
+        # (b, h==center) mask.  Cold draws (inputs.neg_ids) stay sampled
+        # with importance weight dense_hot[0].
+        H = hot_rows
+        hot_w = jnp.asarray(dense_hot[1], dt)              # [H] K*p_norm
+        v_h = table[:H, D:].astype(dt)                     # slice, no gather
+        q_vh = quantize(v_h, bl)
+        f_h = lax.dot_general(cavg, q_vh, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [B, H]
+        skip_h = jnp.arange(H, dtype=jnp.int32)[None, :] != centers[:, None]
+        mh = skip_h.astype(dt) * af[:, None] * hot_w[None, :]
+        g_h = (0.0 - sigmoid_lut(f_h)) * alpha * mh
+        vh_sq = jnp.sum(q_vh * q_vh, axis=-1)
+        loss = loss + jnp.sum(
+            (jnp.log(sigmoid_exact(-f_h)) - reg * vh_sq[None, :]) * mh)
+        cavge = cavge + lax.dot_general(
+            g_h, q_vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [B, D]
+        dv_hot = lax.dot_general(g_h, cavg, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [H, D]
+        dv_hot = dv_hot - two_ar * v_h * jnp.sum(mh, axis=0)[:, None]
 
     # u updates grouped by position (windowed sums)
     mc = mf * af[:, None]
@@ -164,13 +211,44 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         # XLA's scatter loop pays per emitted row, masked or not, so the
         # saving requires real compaction, not masking.
         from word2bits_tpu.ops.scatter import hot_slice_add
-        table = hot_slice_add(table, slab_ids, fused_rows, hot_rows)
+        hot_ids, hot_mat = slab_ids, fused_rows
+        if strat_lanes is not None:
+            # stratified negatives: hot lanes (a static per-pool prefix) are
+            # guaranteed id < hot_rows — ride the same dense accumulation
+            kh = strat_lanes[0]
+            negs4 = negs.reshape(T, P, Kl)
+            dv4 = dv_neg.reshape(T, P, Kl, D)
+            nh = dv4[:, :, :kh].reshape(-1, D)
+            hot_ids = jnp.concatenate([slab_ids, negs4[:, :, :kh].reshape(-1)])
+            hot_mat = jnp.concatenate(
+                [fused_rows,
+                 jnp.concatenate([jnp.zeros_like(nh), nh], axis=1)], axis=0)
+        extra = None
+        if dv_hot is not None:
+            # dense-hot v-deltas ride the same head read-modify-write
+            extra = jnp.concatenate(
+                [jnp.zeros_like(dv_hot), dv_hot], axis=1)   # [H, 2D]
+        table = hot_slice_add(table, hot_ids, hot_mat, hot_rows, extra=extra)
         ok = cold_pos >= 0
         posc = jnp.maximum(cold_pos, 0)
         ids_cold = jnp.where(ok, slab_ids[posc], jnp.int32(0x7FFFFFF0))
         table = table.at[ids_cold].add(
             fused_rows[posc].astype(table.dtype), mode="drop",
             unique_indices=False)
+        if strat_lanes is not None:
+            if Kl - kh:  # cold lanes: already compact by construction
+                nc = dv4[:, :, kh:].reshape(-1, D)
+                table = table.at[negs4[:, :, kh:].reshape(-1)].add(
+                    jnp.concatenate([jnp.zeros_like(nc), nc],
+                                    axis=1).astype(table.dtype))
+            return table, loss
+        if dense_hot is not None:
+            # cold lanes are the whole sampled set (ids >= hot_rows)
+            nc = dv_neg.reshape(-1, D)
+            table = table.at[negs.reshape(-1)].add(
+                jnp.concatenate([jnp.zeros_like(nc), nc],
+                                axis=1).astype(table.dtype))
+            return table, loss
     else:
         table = scat(table, slab_ids, fused_rows)
     # ... plus the negative-row scatter (u-half zero)
@@ -185,15 +263,26 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                            steps: int, neg_sharing: int,
                            donate: bool = True, use_pallas: bool = False,
                            dedup_block: int = 0, neg_pool: int = 1,
-                           hot_rows: int = 0):
+                           hot_rows: int = 0, strat_lanes=None,
+                           dense_hot=None):
     """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key
     [, cold_pos]) -> (table, loss_sum); table is the fused (V, 2D) array.
 
     With hot_rows > 0 the trailing cold_pos argument is REQUIRED: the
     int32 [n_steps, C] per-step cold-row compaction map from
     data.pipeline.cold_positions (global step t = (base0 - W)//B + s indexes
-    its rows)."""
-    from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
+    its rows).
+
+    With strat_lanes = (kh, w_hot, w_cold) (sampling/unigram.
+    StratifiedSampler.lane_split), alias_prob/alias_alias must each be the
+    (hot, cold) PAIR of arrays from build_stratified_tables.
+
+    With dense_hot = (kc, w_cold, hot_w[H]) the hot negative stratum is
+    computed exactly (see fused_slab_step) and alias_prob/alias_alias must
+    be the COLD stratum's arrays; kc cold lanes are drawn per pool."""
+    from word2bits_tpu.sampling.unigram import (AliasTable, _alias_draw,
+                                                draw_negatives,
+                                                draw_negatives_stratified)
 
     B, W, K = batch_size, hyper.window, hyper.negative
     P = neg_pool if (neg_pool and neg_pool > 1) else 1
@@ -209,7 +298,18 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
         slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
         slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
         shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
-        negs = draw_negatives(k_neg, atab, (neg_rows, P * K), vocab_size)
+        if strat_lanes is not None:
+            hot_t = AliasTable(prob=atab.prob[0], alias=atab.alias[0])
+            cold_t = AliasTable(prob=atab.prob[1], alias=atab.alias[1])
+            negs = draw_negatives_stratified(k_neg, hot_t, cold_t, neg_rows,
+                                             P, K, strat_lanes[0], hot_rows)
+        elif dense_hot is not None:
+            kc = dense_hot[0]
+            negs = hot_rows + _alias_draw(
+                k_neg, atab.prob, atab.alias, (neg_rows, P * kc),
+                atab.prob.shape[0])
+        else:
+            negs = draw_negatives(k_neg, atab, (neg_rows, P * K), vocab_size)
         inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
                             shrink=shrink, neg_ids=negs)
         cp = None
@@ -220,7 +320,10 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
         return fused_slab_step(table, inputs, alpha, hyper, B, neg_sharing,
                                use_pallas=use_pallas,
                                dedup_block=dedup_block, neg_pool=P,
-                               hot_rows=hot_rows, cold_pos=cp)
+                               hot_rows=hot_rows, cold_pos=cp,
+                               strat_lanes=strat_lanes,
+                               dense_hot=(None if dense_hot is None else
+                                          (dense_hot[1], dense_hot[2])))
 
     if steps == 1:
         # No-scan capacity path: lax.scan double-buffers the carried table

@@ -74,7 +74,7 @@ def scatter_add_dedup(table, ids, rows, block: int = 1024):
     return table
 
 
-def hot_slice_add(table, ids, rows, hot_rows: int):
+def hot_slice_add(table, ids, rows, hot_rows: int, extra=None):
     """Accumulate every row whose id < hot_rows into table[:hot_rows] with a
     one-hot MXU matmul + one dense slice update — no scatter at all.
 
@@ -88,6 +88,10 @@ def hot_slice_add(table, ids, rows, hot_rows: int):
     table [V, C]; ids [N] int32; rows [N, C] float.  Duplicate hot ids are
     summed in float32 by the matmul (at least as accurate as the baseline's
     one-by-one accumulation into a possibly-bf16 table).
+
+    `extra` ([hot_rows, C] float, optional) is an additional dense delta
+    folded into the same single head read-modify-write (used by the
+    dense-hot-negatives path, models/cbow_fused.py).
     """
     H = int(hot_rows)
     onehot = ids[:, None] == jnp.arange(H, dtype=ids.dtype)[None, :]  # [N, H]
@@ -98,6 +102,8 @@ def hot_slice_add(table, ids, rows, hot_rows: int):
         onehot.astype(mm_dt), rows.astype(mm_dt),
         (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     head = table[:H].astype(jnp.float32) + hot
+    if extra is not None:
+        head = head + extra.astype(jnp.float32)
     return jax.lax.dynamic_update_slice(table, head.astype(table.dtype),
                                         (0, 0))
 

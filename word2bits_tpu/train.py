@@ -35,7 +35,7 @@ from word2bits_tpu.io.vectors import output_vectors, write_vectors
 from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
 from word2bits_tpu.models.cbow_slab import make_slab_train_chunk
 from word2bits_tpu.models.init import init_params
-from word2bits_tpu.sampling.unigram import build_alias_table
+from word2bits_tpu.sampling.unigram import AliasTable, build_alias_table
 
 
 @dataclass
@@ -99,7 +99,28 @@ def train(cfg: Word2BitsConfig,
         words_done = cwords
         _log(cfg, f"Resumed from {ckpt_path} at epoch {start_epoch}")
 
-    table = build_alias_table(vocab.unigram_weights())
+    strat_lanes = None
+    dense_hot = None
+    if cfg.neg_stratify:
+        # stratified hot/cold negative draws (see sampling/unigram.py): the
+        # chunk receives the (hot, cold) alias-array pairs through the same
+        # two positional slots as the plain table
+        from word2bits_tpu.sampling.unigram import build_stratified_tables
+        st = build_stratified_tables(vocab.unigram_weights(), cfg.hot_rows)
+        strat_lanes = st.lane_split(cfg.negative)
+        table = AliasTable(prob=(st.hot.prob, st.cold.prob),
+                           alias=(st.hot.alias, st.cold.alias))
+    elif cfg.neg_dense_hot:
+        # dense hot negatives: the chunk's alias slots carry the COLD
+        # stratum's table; hot weights bake into the jit as constants
+        from word2bits_tpu.sampling.unigram import build_stratified_tables
+        if cfg.hot_rows >= V:
+            raise ValueError("-neg-dense-hot needs -hot-rows < vocab size")
+        st = build_stratified_tables(vocab.unigram_weights(), cfg.hot_rows)
+        dense_hot = st.dense_split(cfg.negative)
+        table = st.cold
+    else:
+        table = build_alias_table(vocab.unigram_weights())
     sharded = None
     if cfg.mesh_shape:
         # multi-chip path: vocab-sharded params + data-parallel batch over a
@@ -118,7 +139,9 @@ def train(cfg: Word2BitsConfig,
                                           use_pallas=cfg.use_pallas,
                                           dedup_block=cfg.dedup_block,
                                           neg_pool=cfg.neg_pool,
-                                          hot_rows=cfg.hot_rows)
+                                          hot_rows=cfg.hot_rows,
+                                          strat_lanes=strat_lanes,
+                                          dense_hot=dense_hot)
         # -hot-rows: the per-segment cold-row compaction map, updated by the
         # segment loop below (an explicit jit arg; the holder just threads it
         # through this fixed chunk_fn signature)
