@@ -44,7 +44,10 @@ VOCAB = 70_000
 # 3 seeds); bf16 fused tables validated at/above f32 convergence.
 CFG = dict(bitlevel=1, size=200, window=8, negative=24, min_count=5,
            sample=1e-3, alpha=0.05, batch_size=8192, steps_per_chunk=16,
-           neg_sharing=64, dtype="bfloat16")
+           neg_sharing=64, dtype="bfloat16",
+           # hot/cold scatter + negative-sampling variant (0/None = off);
+           # set from tools/step_bench.py measurements on the real chip
+           hot_rows=0, neg_mode="sample")  # "sample" | "dense_hot"
 BENCH_SECONDS = 20.0
 
 
@@ -140,15 +143,31 @@ def main():
     u, v = init_params(V, CFG["size"], init="uniform", seed=0,
                        dtype=_jnp.dtype(CFG["dtype"]))
     params = interleave(u, v)  # fused (V, 2D) table: one scatter for u+v_center
-    table = build_alias_table(np.maximum(counts, 1) ** 0.75)
+    weights = np.maximum(counts, 1) ** 0.75
+    hot_rows = int(CFG.get("hot_rows") or 0)
+    dense_hot = None
+    if CFG.get("neg_mode") == "dense_hot":
+        from word2bits_tpu.sampling.unigram import build_stratified_tables
+        st = build_stratified_tables(weights, hot_rows)
+        dense_hot = st.dense_split(CFG["negative"])
+        table = st.cold
+    else:
+        table = build_alias_table(weights)
     chunk_fn = make_fused_train_chunk(hyper, V, B, S,
-                                      neg_sharing=CFG["neg_sharing"])
+                                      neg_sharing=CFG["neg_sharing"],
+                                      hot_rows=hot_rows, dense_hot=dense_hot)
 
     capacity = ((len(encoded) + S * B + 8 + 1023) // 1024) * 1024
     ep = build_epoch_arrays(encoded, counts, CFG["sample"], train_words, W,
                             np.random.default_rng(0), capacity=capacity)
     tokens = jnp.asarray(ep.tokens)
     sents = jnp.asarray(ep.sent_ids)
+    extra = ()
+    if hot_rows:
+        from word2bits_tpu.data.pipeline import cold_positions
+        n_rows = len(ep.tokens) // B + S + 2
+        extra = (jnp.asarray(cold_positions(ep.tokens, B, W, n_rows,
+                                            hot_rows)),)
     n_centers = max(ep.n_tokens, 1)
     words_per_step = B * train_words / n_centers
     denom = 5.0 * train_words + 1.0
@@ -168,7 +187,7 @@ def main():
     print("bench: compiling + warmup...", file=sys.stderr, flush=True)
     key, sub = jax.random.split(key)
     params, loss = chunk_fn(params, tokens, sents, table.prob, table.alias,
-                            scalars(0, 0.0), sub)
+                            scalars(0, 0.0), sub, *extra)
     float(loss)
     print("bench: timing...", file=sys.stderr, flush=True)
 
@@ -181,7 +200,7 @@ def main():
             key, sub = jax.random.split(key)
             params, loss = chunk_fn(params, tokens, sents, table.prob,
                                     table.alias, scalars(chunks, words_done),
-                                    sub)
+                                    sub, *extra)
             chunks += 1
             words_done += S * words_per_step
         float(loss)  # host fetch forces the dependency chain
