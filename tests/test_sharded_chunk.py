@@ -103,3 +103,69 @@ def test_chunk_single_dispatch_per_S_steps():
     assert isinstance(loss, jax.Array) and loss.shape == ()
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(u2)).all()
+
+
+@pytest.mark.parametrize("mesh_shape,shared", [
+    ({"data": 2, "vocab": 4}, 8),
+    ({"data": 4, "vocab": 2}, 8),
+    ({"data": 2, "vocab": 4}, 0),
+])
+def test_sharded_dense_hot_chunk_equals_fused_single(mesh_shape, shared):
+    """Sharded dense-hot chunk == single-chip chunk with the same key.
+
+    The single-chip reference is the fused dense-hot chunk (shared mode) or
+    a step-by-step fused... for per-center mode (shared=0) the sharded body
+    is compared across mesh layouts instead (no single-chip per-center
+    dense-hot exists; 2x4 and 4x2 must agree with each other)."""
+    from word2bits_tpu.sampling.unigram import build_stratified_tables
+
+    S, B, W, K, V, D, H = 3, 32, 3, 4, 45, 16, 12
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.01)
+    u, v, toks, sents, _, scalars = _setup(0, S, B, W, V, D)
+    rng = np.random.default_rng(9)
+    counts = rng.integers(1, 50, V).astype(np.float64)
+    st = build_stratified_tables(counts ** 0.75, H)
+    dh = st.dense_split(K)
+    key = jax.random.PRNGKey(7)
+
+    mesh = make_mesh(mesh_shape)
+    nv = mesh_shape["vocab"]
+    up, vp = pad_vocab_rows(u, nv), pad_vocab_rows(v, nv)
+    chunk = make_sharded_chunk(_sharded_slab_body, hyper, mesh, up.shape[0],
+                               V, B, S, neg_sharing=shared, donate=False,
+                               dense_hot=dh, hot_rows=H)
+    ud, vd = shard_params(jnp.asarray(up), jnp.asarray(vp), mesh)
+    u2, v2, loss2 = chunk(ud, vd, jnp.asarray(toks), jnp.asarray(sents),
+                          st.cold.prob, st.cold.alias, scalars, key)
+
+    if shared:
+        from word2bits_tpu.data.pipeline import cold_positions
+        from word2bits_tpu.models.cbow_fused import (deinterleave, interleave,
+                                                     make_fused_train_chunk)
+        single = make_fused_train_chunk(hyper, V, B, S, neg_sharing=shared,
+                                        donate=False, hot_rows=H,
+                                        dense_hot=dh)
+        cp = jnp.asarray(cold_positions(toks, B, W, S + 1, H, pad_mult=8))
+        t1, loss1 = single(interleave(jnp.asarray(u), jnp.asarray(v)),
+                           jnp.asarray(toks), jnp.asarray(sents),
+                           st.cold.prob, st.cold.alias, scalars, key, cp)
+        u1, v1 = deinterleave(t1)
+    else:
+        mesh_b = make_mesh({"data": 1, "vocab": 2},
+                           devices=jax.devices()[:2])
+        upb, vpb = pad_vocab_rows(u, 2), pad_vocab_rows(v, 2)
+        chunk_b = make_sharded_chunk(_sharded_slab_body, hyper, mesh_b,
+                                     upb.shape[0], V, B, S, neg_sharing=0,
+                                     donate=False, dense_hot=dh, hot_rows=H)
+        udb, vdb = shard_params(jnp.asarray(upb), jnp.asarray(vpb), mesh_b)
+        u1, v1, loss1 = chunk_b(udb, vdb, jnp.asarray(toks),
+                                jnp.asarray(sents), st.cold.prob,
+                                st.cold.alias, scalars, key)
+        u1, v1 = jnp.asarray(u1)[:V], jnp.asarray(v1)[:V]
+
+    np.testing.assert_allclose(np.asarray(u2)[:V], np.asarray(u1)[:V],
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(v2)[:V], np.asarray(v1)[:V],
+                               atol=3e-5)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-4,
+                               atol=1e-4)

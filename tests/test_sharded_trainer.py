@@ -43,3 +43,23 @@ def test_sharded_skipgram_end_to_end(tmp_path):
     # numerical equality with the single-device step is proven in
     # tests/test_sharded_skipgram.py; tiny-corpus loss trends are noisy
     assert result.u.shape[0] == result.vocab.size
+
+
+def test_sharded_dense_hot_end_to_end(tmp_path):
+    """-mesh-shape + -neg-dense-hot: multi-chip training with exact
+    hot-stratum negatives (vocab-axis local, parallel/sharded_slab)."""
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=150)
+    out = str(tmp_path / "v.bin")
+    cfg = Word2BitsConfig(
+        train_file=corpus, output_file=out, binary=True, bitlevel=1,
+        size=16, window=2, negative=4, iter=3, min_count=1,
+        batch_size=32, steps_per_chunk=4, neg_sharing=8, debug=0,
+        mesh_shape={"data": 2, "vocab": 4}, hot_rows=8, neg_dense_hot=True)
+    result = train(cfg)
+    assert all(np.isfinite(l) for l in result.epoch_losses)
+    assert result.epoch_losses[-1] > result.epoch_losses[0]
+    from word2bits_tpu.io.vectors import read_vectors
+    words, vecs = read_vectors(out)
+    third = np.float32(1.0) / np.float32(3.0)
+    assert set(np.unique(vecs)) <= {third, -third}

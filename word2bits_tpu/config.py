@@ -203,17 +203,24 @@ class Word2BitsConfig:
         if self.hot_rows < 0:
             raise ValueError(f"hot_rows must be >= 0, got {self.hot_rows}")
         if self.hot_rows:
-            if not (self.fused_tables and self.neg_sharing
-                    and self.model == "cbow"):
-                raise ValueError(
-                    "hot_rows requires the fused-table CBOW path "
-                    "(-fused-tables 1 -neg-sharing G -model cbow)")
-            if self.device_epoch:
-                raise ValueError(
-                    "hot_rows uses host-precomputed cold positions; "
-                    "it is incompatible with -device-epoch 1")
             if self.mesh_shape:
-                raise ValueError("hot_rows is single-chip only for now")
+                # multi-chip: only the dense-hot negative path uses the hot
+                # boundary (vocab-local exact negatives, no cold-position
+                # precompute); the slab hot/cold scatter split is single-chip
+                if not (self.neg_dense_hot and self.model == "cbow"):
+                    raise ValueError(
+                        "with -mesh-shape, -hot-rows is only meaningful "
+                        "together with -neg-dense-hot 1 -model cbow")
+            else:
+                if not (self.fused_tables and self.neg_sharing
+                        and self.model == "cbow"):
+                    raise ValueError(
+                        "hot_rows requires the fused-table CBOW path "
+                        "(-fused-tables 1 -neg-sharing G -model cbow)")
+                if self.device_epoch:
+                    raise ValueError(
+                        "hot_rows uses host-precomputed cold positions; "
+                        "it is incompatible with -device-epoch 1")
         if self.neg_stratify or self.neg_dense_hot:
             which = "neg_stratify" if self.neg_stratify else "neg_dense_hot"
             if self.neg_stratify and self.neg_dense_hot:
@@ -286,6 +293,10 @@ REFERENCE_FLAGS = {
     "-device-epoch": ("device_epoch", lambda s: bool(int(s))),
     "-dedup-block": ("dedup_block", int),
     "-hot-rows": ("hot_rows", int),
+    # e.g. -mesh-shape data=2,vocab=4
+    "-mesh-shape": ("mesh_shape", lambda s: {
+        k.strip(): int(v) for k, v in
+        (kv.split("=") for kv in s.split(",") if kv.strip())}),
     "-neg-stratify": ("neg_stratify", lambda s: bool(int(s))),
     "-neg-dense-hot": ("neg_dense_hot", lambda s: bool(int(s))),
     "-profile-dir": ("profile_dir", str),

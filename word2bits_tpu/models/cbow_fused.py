@@ -61,6 +61,9 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     Returns (table, loss)."""
     if not neg_sharing:
         raise ValueError("fused table step requires neg_sharing > 0")
+    if dense_hot is not None and not hot_rows:
+        raise ValueError("dense_hot requires hot_rows (the dense v-deltas "
+                         "are applied through the hot head update)")
     B, W, K, D = batch_size, hyper.window, hyper.negative, table.shape[1] // 2
     bl, reg = hyper.bitlevel, hyper.reg
     dt = jnp.float32

@@ -31,7 +31,8 @@ from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
 def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
                        vocab_size_padded: int, vocab_size: int,
                        batch_size: int, steps: int, neg_sharing: int = 0,
-                       neg_pool: int = 1, donate: bool = True):
+                       neg_pool: int = 1, donate: bool = True,
+                       dense_hot=None, hot_rows: int = 0):
     """jit(shard_map) chunk running `steps` sharded minibatch steps.
 
     `body_fn` is one of the per-step sharded bodies
@@ -46,6 +47,11 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
     with tokens/sent_ids/alias/scalars/key replicated and u, v sharded
     P("vocab", None).  `vocab_size` (true, unpadded) bounds negative draws;
     `vocab_size_padded` defines the shard layout.
+
+    dense_hot = (kc, w_cold, hot_w[H]) with hot_rows = H enables exact
+    hot-stratum negatives (sharded_slab dense_hot): alias_prob/alias_alias
+    must then be the COLD stratum's arrays and kc cold lanes are drawn per
+    pool at offset H (same key structure as the fused single-chip chunk).
     """
     nd = mesh.shape[DATA_AXIS]
     nv = mesh.shape[VOCAB_AXIS]
@@ -81,11 +87,20 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
             slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
             slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
             shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
-            negs = draw_negatives(k_neg, table, (neg_rows, pools * K),
-                                  vocab_size)
+            body_kw = {}
+            if dense_hot is not None:
+                from word2bits_tpu.sampling.unigram import _alias_draw
+                negs = hot_rows + _alias_draw(
+                    k_neg, table.prob, table.alias,
+                    (neg_rows, pools * dense_hot[0]), table.prob.shape[0])
+                body_kw["dense_hot"] = (dense_hot[1], dense_hot[2])
+            else:
+                negs = draw_negatives(k_neg, table, (neg_rows, pools * K),
+                                      vocab_size)
             u_local, v_local, step_loss = body_fn(
                 u_local, v_local, slab_tokens, slab_sents, shrink, negs,
-                alpha, hyper, batch_size, neg_sharing, vss, neg_pool=pools)
+                alpha, hyper, batch_size, neg_sharing, vss, neg_pool=pools,
+                **body_kw)
             return (u_local, v_local, loss + step_loss), None
 
         xs = (jnp.arange(steps, dtype=jnp.int32), keys)

@@ -33,8 +33,15 @@ from word2bits_tpu.parallel.sharded import _gather_rows, _scatter_delta
 def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
                        negs, alpha, hyper: CBOWHyper, B_global: int,
                        neg_sharing: int, vocab_shard_size: int,
-                       neg_pool: int = 1):
-    """Runs inside shard_map. Global inputs replicated; params vocab-sharded."""
+                       neg_pool: int = 1, dense_hot=None):
+    """Runs inside shard_map. Global inputs replicated; params vocab-sharded.
+
+    dense_hot = (w_cold, hot_w[H]) enables exact hot-stratum negatives
+    (models/cbow_fused.py): each vocab shard scores every center against its
+    OWN local rows whose global index is < H (weights masked to zero
+    elsewhere), so the hot head needs NO row exchange — only the [B, D]
+    expected-gradient term and the scalar loss psum over "vocab".  `negs`
+    then carries cold-only draws (ids >= H) weighted by w_cold."""
     W, K, D = hyper.window, hyper.negative, u_local.shape[1]
     bl, reg = hyper.bitlevel, hyper.reg
     # compute in f32 even when the backing store is bf16, as
@@ -57,9 +64,9 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
         # starts at d*B which is a multiple of T_global, so local index
         # b % T_global == global tile id: every shard uses ALL T_global
         # negative rows, holding G/nd members of each tile.
-        my_negs = negs                                     # [T_global, P*K]
+        my_negs = negs                                 # [T_global, P*Kl]
     else:
-        my_negs = lax.dynamic_slice(negs, (start, 0), (B, K))
+        my_negs = lax.dynamic_slice(negs, (start, 0), (B, negs.shape[1]))
 
     inputs = SlabInputs(slab_tokens=my_tokens, slab_sents=my_sents,
                         shrink=my_shrink, neg_ids=my_negs)
@@ -116,8 +123,10 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
             # this shard holds tile members [di*G_local, (di+1)*G_local);
             # offset the member index so center->pool routing matches the
             # single-chip mask (cbow_slab.pool_mask)
-            m3 = m3 * pool_mask(G_local, K, neg_pool, dt,
-                                offset=di * G_local)[None]
+            m3 = m3 * pool_mask(G_local, my_negs.shape[1] // neg_pool,
+                                neg_pool, dt, offset=di * G_local)[None]
+        if dense_hot is not None:
+            m3 = m3 * jnp.float32(dense_hot[0])  # cold importance weight
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
         loss = loss + jnp.sum(
@@ -136,6 +145,8 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
         f_neg = jnp.einsum("bd,bkd->bk", cavg, q_vn)
         skip = my_negs != centers[:, None]
         m2 = skip.astype(dt) * af[:, None]
+        if dense_hot is not None:
+            m2 = m2 * jnp.float32(dense_hot[0])  # cold importance weight
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m2
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
         loss = loss + jnp.sum((jnp.log(sigmoid_exact(-f_neg))
@@ -146,6 +157,38 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
         neg_rows_flat = my_negs.reshape(-1)
         dv_neg_flat = dv_neg.reshape(-1, D)
         neg_mask = jnp.ones(neg_rows_flat.shape, bool)
+
+    dv_hot = None
+    if dense_hot is not None:
+        # exact hot-stratum negatives, vocab-axis local: this shard's rows
+        # with global id < H carry weight hot_w[gid]; all other local rows
+        # get weight 0 (same FLOPs every shard — SPMD lockstep — but only
+        # owners contribute).  No hot-row gather/psum at all.
+        hot_w = jnp.asarray(dense_hot[1], dt)              # [H], replicated
+        H = hot_w.shape[0]
+        Hs = min(H, Vs)
+        vi = lax.axis_index(VOCAB_AXIS)
+        gidx = vi * Vs + jnp.arange(Hs, dtype=jnp.int32)
+        w_loc = jnp.where(gidx < H, hot_w[jnp.clip(gidx, 0, H - 1)], 0.0)
+        v_h = v_local[:Hs].astype(dt)
+        q_vh = quantize(v_h, bl)
+        f_h = lax.dot_general(cavg, q_vh, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [B, Hs]
+        skip_h = gidx[None, :] != centers[:, None]
+        mh = skip_h.astype(dt) * af[:, None] * w_loc[None, :]
+        g_h = (0.0 - sigmoid_lut(f_h)) * alpha * mh
+        vh_sq = jnp.sum(q_vh * q_vh, axis=-1)
+        hot_loss = jnp.sum(
+            (jnp.log(sigmoid_exact(-f_h)) - reg * vh_sq[None, :]) * mh)
+        # replicate the partials so downstream stays vocab-replicated like
+        # every other term (the chunk divides the final psum by nv)
+        loss = loss + lax.psum(hot_loss, VOCAB_AXIS)
+        cavge = cavge + lax.psum(
+            lax.dot_general(g_h, q_vh, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32), VOCAB_AXIS)
+        dv_hot = lax.dot_general(g_h, cavg, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dv_hot = dv_hot - two_ar * v_h * jnp.sum(mh, axis=0)[:, None]
 
     # u updates grouped by position
     mc = mf * af[:, None]
@@ -165,6 +208,9 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
                              (Vs, D))
     delta_v = delta_v + _scatter_delta(neg_rows_flat, dv_neg_flat, neg_mask,
                                        vocab_shard_size, (Vs, D))
+    if dv_hot is not None:
+        # dense hot v-deltas land on this shard's own leading rows
+        delta_v = delta_v.at[:dv_hot.shape[0]].add(dv_hot)
     delta_u = _scatter_delta(slab_ids, du_slab, ones_slab, vocab_shard_size,
                              (Vs, D))
     delta_v = lax.psum(delta_v, DATA_AXIS)
@@ -176,7 +222,8 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
 
 def make_sharded_slab_step(hyper: CBOWHyper, mesh: Mesh,
                            vocab_size_padded: int, batch_size: int,
-                           neg_sharing: int = 0, neg_pool: int = 1):
+                           neg_sharing: int = 0, neg_pool: int = 1,
+                           dense_hot=None):
     """jit(shard_map) step: (u_loc, v_loc, slab_tokens, slab_sents, shrink,
     negs, alpha) -> (u_loc, v_loc, loss).  Inputs replicated, params
     vocab-sharded."""
@@ -198,7 +245,8 @@ def make_sharded_slab_step(hyper: CBOWHyper, mesh: Mesh,
     def step(u_local, v_local, slab_tokens, slab_sents, shrink, negs, alpha):
         u_local, v_local, loss = _sharded_slab_body(
             u_local, v_local, slab_tokens, slab_sents, shrink, negs, alpha,
-            hyper, batch_size, neg_sharing, vss, neg_pool=neg_pool)
+            hyper, batch_size, neg_sharing, vss, neg_pool=neg_pool,
+            dense_hot=dense_hot)
         loss = lax.psum(loss, VOCAB_AXIS) / nv
         return u_local, v_local, loss
 

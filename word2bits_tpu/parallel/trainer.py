@@ -36,7 +36,8 @@ from word2bits_tpu.parallel.sharded_slab import _sharded_slab_body
 class ShardedTrainer:
     """Owns mesh, sharded params, and the chunked step driver."""
 
-    def __init__(self, cfg: Word2BitsConfig, vocab_size: int, u, v):
+    def __init__(self, cfg: Word2BitsConfig, vocab_size: int, u, v,
+                 dense_hot=None):
         self.cfg = cfg
         self.mesh = make_mesh(cfg.mesh_shape)
         self.nv = self.mesh.shape[VOCAB_AXIS]
@@ -51,7 +52,8 @@ class ShardedTrainer:
         self.chunk_fn = make_sharded_chunk(
             body, hyper, self.mesh, up.shape[0], vocab_size,
             cfg.batch_size, cfg.steps_per_chunk,
-            neg_sharing=cfg.neg_sharing, neg_pool=cfg.neg_pool)
+            neg_sharing=cfg.neg_sharing, neg_pool=cfg.neg_pool,
+            dense_hot=dense_hot, hot_rows=cfg.hot_rows)
         self.u, self.v = shard_params(jnp.asarray(up), jnp.asarray(vp),
                                       self.mesh)
 

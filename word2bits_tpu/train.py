@@ -127,7 +127,7 @@ def train(cfg: Word2BitsConfig,
         # (data, vocab) mesh, scanning S steps per dispatch exactly like the
         # single-chip chunk (parallel/chunk.py)
         from word2bits_tpu.parallel.trainer import ShardedTrainer
-        sharded = ShardedTrainer(cfg, V, u, v)
+        sharded = ShardedTrainer(cfg, V, u, v, dense_hot=dense_hot)
         chunk_fn = None
         u = v = None
     elif cfg.fused_tables and cfg.neg_sharing and cfg.model == "cbow":
@@ -245,7 +245,10 @@ def train(cfg: Word2BitsConfig,
                                               cfg.sample, train_words, W,
                                               epoch_rng, seg_tokens,
                                               capacity=capacity):
-                    if cfg.hot_rows:
+                    if cfg.hot_rows and fused_mode:
+                        # slab hot/cold scatter split (single-chip fused
+                        # path only; the sharded dense-hot path needs no
+                        # cold-position precompute)
                         from word2bits_tpu.data.pipeline import cold_positions
                         n_rows = capacity // B + S + 2
                         cp = cold_positions(ea.tokens, B, W, n_rows,
