@@ -115,3 +115,18 @@ def test_neg_dense_hot_trains_and_converges(tmp_path):
     words, vecs = read_vectors(out)
     third = np.float32(1.0) / np.float32(3.0)
     assert set(np.unique(vecs)) <= {third, -third}
+
+
+def test_neg_dense_hot_with_device_epoch(tmp_path):
+    """-neg-dense-hot composes with -device-epoch (no cold-position map:
+    plain slab scatter + dense hot head delta)."""
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=120)
+    out = str(tmp_path / "v.bin")
+    cfg = Word2BitsConfig(
+        train_file=corpus, output_file=out, binary=True, bitlevel=1,
+        size=16, window=2, negative=6, iter=3, min_count=1,
+        batch_size=32, steps_per_chunk=4, neg_sharing=8, fused_tables=True,
+        hot_rows=8, neg_dense_hot=True, device_epoch=True, debug=0)
+    result = train(cfg)
+    assert result.epoch_losses[-1] > result.epoch_losses[0]

@@ -60,7 +60,7 @@ def run_reference(exe, corpus, out, bitlevel, iters):
 
 
 def run_ours(corpus, out, bitlevel, iters, neg_sharing, seed=1,
-             model="cbow", neg_pool=1):
+             model="cbow", neg_pool=1, **extra):
     from word2bits_tpu.config import Word2BitsConfig
     from word2bits_tpu.train import train
 
@@ -71,7 +71,7 @@ def run_ours(corpus, out, bitlevel, iters, neg_sharing, seed=1,
         min_count=HYPER["min_count"], sample=HYPER["sample"],
         alpha=HYPER["alpha"], batch_size=512, steps_per_chunk=64,
         neg_sharing=neg_sharing, neg_pool=neg_pool, debug=1, seed=seed,
-        model=model)
+        model=model, **extra)
     t0 = time.perf_counter()
     train(cfg)
     return time.perf_counter() - t0
@@ -101,7 +101,11 @@ def _stats(xs):
 # full MXU tile shapes (word2bits_tpu/models/cbow_slab.py pool_mask).
 MODES = [("per-center", 0, "cbow"), ("shared-16", 16, "cbow"),
          ("shared-16-pool8", 16, "cbow", 8),
-         ("skipgram", 0, "skipgram")]
+         ("skipgram", 0, "skipgram"),
+         # dense-hot: exact hot-stratum negatives (fused tables required);
+         # per-center quality at full shared-tile throughput shapes
+         ("shared-16-densehot", 16, "cbow", 1,
+          dict(fused_tables=True, hot_rows=256, neg_dense_hot=True))]
 
 
 def main():
@@ -152,12 +156,14 @@ def main():
 
         for label, sharing, model, *rest in wanted:
             pool = rest[0] if rest else 1
+            extra = rest[1] if len(rest) > 1 else {}
             our_accs, t_tot = [], 0.0
             for s in range(n_seeds):
                 our_out = (f"/tmp/parity_ours_b{bitlevel}_{sharing}_{model}"
-                           f"_p{pool}_{s}.bin")
+                           f"_p{pool}_{len(extra)}_{s}.bin")
                 t_tot += run_ours(corpus, our_out, bitlevel, iters, sharing,
-                                  seed=s + 1, model=model, neg_pool=pool)
+                                  seed=s + 1, model=model, neg_pool=pool,
+                                  **extra)
                 acc, our_cov = evaluate(our_out, questions)
                 our_accs.append(acc)
             rows.append(dict(bitlevel=bitlevel, mode=label,

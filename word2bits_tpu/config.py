@@ -217,10 +217,13 @@ class Word2BitsConfig:
                     raise ValueError(
                         "hot_rows requires the fused-table CBOW path "
                         "(-fused-tables 1 -neg-sharing G -model cbow)")
-                if self.device_epoch:
+                if self.device_epoch and not self.neg_dense_hot:
                     raise ValueError(
-                        "hot_rows uses host-precomputed cold positions; "
-                        "it is incompatible with -device-epoch 1")
+                        "the hot/cold slab scatter split uses host-"
+                        "precomputed cold positions, incompatible with "
+                        "-device-epoch 1 (with -neg-dense-hot 1 the hot "
+                        "boundary applies to negatives only and composes "
+                        "with -device-epoch; the slab split then stays off)")
         if self.neg_stratify or self.neg_dense_hot:
             which = "neg_stratify" if self.neg_stratify else "neg_dense_hot"
             if self.neg_stratify and self.neg_dense_hot:

@@ -62,8 +62,8 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     if not neg_sharing:
         raise ValueError("fused table step requires neg_sharing > 0")
     if dense_hot is not None and not hot_rows:
-        raise ValueError("dense_hot requires hot_rows (the dense v-deltas "
-                         "are applied through the hot head update)")
+        raise ValueError("dense_hot requires hot_rows (the hot-stratum "
+                         "boundary of the negative distribution)")
     B, W, K, D = batch_size, hyper.window, hyper.negative, table.shape[1] // 2
     bl, reg = hyper.bitlevel, hyper.reg
     dt = jnp.float32
@@ -231,13 +231,26 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             # dense-hot v-deltas ride the same head read-modify-write
             extra = jnp.concatenate(
                 [jnp.zeros_like(dv_hot), dv_hot], axis=1)   # [H, 2D]
-        table = hot_slice_add(table, hot_ids, hot_mat, hot_rows, extra=extra)
-        ok = cold_pos >= 0
-        posc = jnp.maximum(cold_pos, 0)
-        ids_cold = jnp.where(ok, slab_ids[posc], jnp.int32(0x7FFFFFF0))
-        table = table.at[ids_cold].add(
-            fused_rows[posc].astype(table.dtype), mode="drop",
-            unique_indices=False)
+        if cold_pos is None:
+            # no cold-position map (e.g. -device-epoch): keep the plain
+            # slab scatter, apply only the dense-hot head delta
+            if strat_lanes is not None:
+                raise ValueError("strat_lanes requires cold_pos (it exists "
+                                 "only for the hot/cold scatter split)")
+            if extra is not None:
+                head = (table[:hot_rows].astype(jnp.float32)
+                        + extra).astype(table.dtype)
+                table = lax.dynamic_update_slice(table, head, (0, 0))
+            table = scat(table, slab_ids, fused_rows)
+        else:
+            table = hot_slice_add(table, hot_ids, hot_mat, hot_rows,
+                                  extra=extra)
+            ok = cold_pos >= 0
+            posc = jnp.maximum(cold_pos, 0)
+            ids_cold = jnp.where(ok, slab_ids[posc], jnp.int32(0x7FFFFFF0))
+            table = table.at[ids_cold].add(
+                fused_rows[posc].astype(table.dtype), mode="drop",
+                unique_indices=False)
         if strat_lanes is not None:
             if Kl - kh:  # cold lanes: already compact by construction
                 nc = dv4[:, :, kh:].reshape(-1, D)
@@ -316,7 +329,7 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
         inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
                             shrink=shrink, neg_ids=negs)
         cp = None
-        if hot_rows:
+        if hot_rows and cold_pos is not None:
             t = jnp.clip((base - W) // B, 0, cold_pos.shape[0] - 1)
             cp = lax.dynamic_slice(cold_pos, (t, 0),
                                    (1, cold_pos.shape[1]))[0]
