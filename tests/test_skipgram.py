@@ -150,3 +150,78 @@ def test_skipgram_neg_pool_equals_percenter():
     np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+
+def test_skipgram_dense_hot_equals_weighted_expectation_oracle():
+    """Skip-gram dense-hot == exact weighted sum over every hot word.
+
+    Same additivity argument as the CBOW oracle (tests/test_cbow_fused.py):
+    with per-center lanes (neg_sharing=0, K=1) a negative equal to the
+    center is fully masked, so single-lane steps give exact per-negative
+    deltas that must sum (with hot_w / w_cold weights) to the dense step."""
+    B, W, V, D, H = 8, 2, 30, 8, 10
+    rng = np.random.default_rng(23)
+    u = rng.uniform(-0.5, 0.5, (V, D)).astype(np.float32)
+    v = rng.uniform(-0.5, 0.5, (V, D)).astype(np.float32)
+    toks = rng.integers(-1, V, B + 2 * W).astype(np.int32)
+    sents = np.sort(rng.integers(0, 3, B + 2 * W)).astype(np.int32)
+    shrink = rng.integers(0, W, B).astype(np.int32)
+    alpha = jnp.float32(0.07)
+    centers = np.maximum(toks[W:W + B], 0)
+
+    def plain(neg_col):
+        inp = SlabInputs(slab_tokens=jnp.asarray(toks),
+                         slab_sents=jnp.asarray(sents),
+                         shrink=jnp.asarray(shrink),
+                         neg_ids=jnp.asarray(neg_col.reshape(B, 1)))
+        h1 = CBOWHyper(bitlevel=1, size=D, window=W, negative=1, reg=0.01)
+        u2, v2, loss = skipgram_slab_step(jnp.asarray(u), jnp.asarray(v),
+                                          inp, alpha, h1, B, 0)
+        return (np.asarray(u2, np.float64), np.asarray(v2, np.float64),
+                float(loss))
+
+    ub, vb, lb = plain(centers)  # all lanes masked (skip-center)
+    kc, w_cold = 2, 1.21
+    hot_w = (0.05 + rng.uniform(0, 0.3, H)).astype(np.float32)
+    hot_w[0] = 0.0
+    cold_draws = rng.integers(H, V, (B, kc)).astype(np.int32)
+
+    wu, wv, wl = ub.copy(), vb.copy(), lb
+    for h in range(1, H):
+        u2, v2, l2 = plain(np.full(B, h, np.int32))
+        wu += hot_w[h] * (u2 - ub)
+        wv += hot_w[h] * (v2 - vb)
+        wl += hot_w[h] * (l2 - lb)
+    for j in range(kc):
+        u2, v2, l2 = plain(cold_draws[:, j])
+        wu += w_cold * (u2 - ub)
+        wv += w_cold * (v2 - vb)
+        wl += w_cold * (l2 - lb)
+
+    inp = SlabInputs(slab_tokens=jnp.asarray(toks),
+                     slab_sents=jnp.asarray(sents),
+                     shrink=jnp.asarray(shrink),
+                     neg_ids=jnp.asarray(cold_draws))
+    hk = CBOWHyper(bitlevel=1, size=D, window=W, negative=kc, reg=0.01)
+    gu, gv, gl = skipgram_slab_step(jnp.asarray(u), jnp.asarray(v), inp,
+                                    alpha, hk, B, 0,
+                                    dense_hot=(w_cold, hot_w))
+    np.testing.assert_allclose(np.asarray(gu), wu, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gv), wv, atol=2e-5)
+    np.testing.assert_allclose(float(gl), wl, rtol=1e-4)
+
+
+def test_skipgram_dense_hot_trains(tmp_path):
+    from word2bits_tpu.config import Word2BitsConfig
+    from word2bits_tpu.train import train
+    from tests.test_integration import _make_corpus
+
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=120)
+    cfg = Word2BitsConfig(
+        train_file=corpus, output_file=str(tmp_path / "v.bin"), binary=True,
+        bitlevel=1, size=16, window=2, negative=6, iter=3, min_count=1,
+        batch_size=32, steps_per_chunk=4, model="skipgram",
+        hot_rows=8, neg_dense_hot=True, debug=0)
+    result = train(cfg)
+    assert result.epoch_losses[-1] > result.epoch_losses[0]

@@ -211,6 +211,13 @@ class Word2BitsConfig:
                     raise ValueError(
                         "with -mesh-shape, -hot-rows is only meaningful "
                         "together with -neg-dense-hot 1 -model cbow")
+            elif self.model == "skipgram":
+                # skip-gram has no slab hot/cold split; the hot boundary is
+                # only the dense-hot negative stratum
+                if not self.neg_dense_hot:
+                    raise ValueError(
+                        "with -model skipgram, -hot-rows is only "
+                        "meaningful together with -neg-dense-hot 1")
             else:
                 if not (self.fused_tables and self.neg_sharing
                         and self.model == "cbow"):
@@ -238,6 +245,9 @@ class Word2BitsConfig:
                 raise ValueError(
                     f"{which} is not threaded into the Pallas score "
                     "kernel; drop -use-pallas")
+            if self.neg_stratify and self.model != "cbow":
+                raise ValueError("neg_stratify is implemented for the "
+                                 "fused-table CBOW path only")
         if self.init not in ("reference", "uniform"):
             raise ValueError(f"init must be 'reference' or 'uniform', got {self.init!r}")
         if self.model not in ("cbow", "skipgram"):

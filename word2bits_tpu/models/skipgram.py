@@ -28,11 +28,16 @@ from word2bits_tpu.ops.sigmoid import sigmoid_exact, sigmoid_lut
 
 def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                        batch_size: int, neg_sharing: int = 0,
-                       dedup_block: int = 0, neg_pool: int = 1):
+                       dedup_block: int = 0, neg_pool: int = 1,
+                       dense_hot=None):
     """One synchronous skip-gram step over B consecutive centers.
 
     Every (center b, offset o) pair trains input row u[token[b+o]] against
     targets {center_b} + negatives. Returns (u, v, loss).
+
+    dense_hot = (w_cold, hot_w[H]): exact hot-stratum negatives per PAIR
+    (models/cbow_fused.py semantics, [B*2W, H] MXU contraction);
+    inputs.neg_ids then carries cold-only draws weighted by w_cold.
     """
     B, W, K, D = batch_size, hyper.window, hyper.negative, u.shape[1]
     bl, reg = hyper.bitlevel, hyper.reg
@@ -82,14 +87,43 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     # per-pair input-row gradient accumulator
     din = g_pos[..., None] * q_vc[:, None, :]             # [B, 2W, D]
 
+    dv_hot = None
+    if dense_hot is not None:
+        # exact hot-stratum negatives per (center, offset) PAIR: one
+        # [B*2W, H] MXU contraction against all H hot words with weight
+        # hot_w[h] = K * P(draw h) (see models/cbow_fused.py); computed
+        # from the PRE-update v rows, applied after the sampled scatters
+        hot_w = jnp.asarray(dense_hot[1], dt)             # [H]
+        H = hot_w.shape[0]
+        v_h = v[:H].astype(dt)
+        q_vh = quantize(v_h, bl)
+        q_in2 = q_in.reshape(B * 2 * W, D)
+        f_h = lax.dot_general(q_in2, q_vh, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        c_rep = jnp.broadcast_to(centers[:, None],
+                                 (B, 2 * W)).reshape(-1)   # pair centers
+        skip_h = jnp.arange(H, dtype=jnp.int32)[None, :] != c_rep[:, None]
+        mh = (skip_h.astype(dt) * mf.reshape(-1)[:, None]
+              * hot_w[None, :])                            # [B*2W, H]
+        g_h = (0.0 - sigmoid_lut(f_h)) * alpha * mh
+        vh_sq = jnp.sum(q_vh * q_vh, axis=-1)
+        loss = loss + jnp.sum(
+            (jnp.log(sigmoid_exact(-f_h)) - reg * vh_sq[None, :]) * mh)
+        din = din + lax.dot_general(
+            g_h, q_vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(B, 2 * W, D)
+        dv_hot = lax.dot_general(g_h, q_in2, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dv_hot = dv_hot - two_ar * v_h * jnp.sum(mh, axis=0)[:, None]
+
     if neg_sharing and neg_sharing > 0:
         G = neg_sharing
         if B % G:
             raise ValueError(f"batch {B} not divisible by neg tile {G}")
         T = B // G
         P = neg_pool if neg_pool and neg_pool > 1 else 1
-        PK = P * K
-        negs = inputs.neg_ids                             # [T, P*K]
+        negs = inputs.neg_ids                             # [T, P*Kl]
+        PK = negs.shape[1]
         v_n = v[negs].astype(dt)
         q_vn = quantize(v_n, bl)                          # [T, P*K, D]
         from word2bits_tpu.models.cbow_slab import (from_tiles, pool_mask,
@@ -104,8 +138,11 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         skip = (negs[:, None, :] != centers3[:, :, None])  # [T, G, P*K]
         eligible = skip.astype(dt)
         if P > 1:
-            eligible = eligible * pool_mask(G, K, P, dt)[None]
+            eligible = eligible * pool_mask(G, negs.shape[1] // P, P,
+                                            dt)[None]
         m4 = mf4[..., None] * eligible[:, :, None, :]      # [T,G,2W,PK]
+        if dense_hot is not None:
+            m4 = m4 * jnp.float32(dense_hot[0])
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m4
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)             # [T, K]
         loss = loss + jnp.sum(
@@ -131,6 +168,8 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         f_neg = jnp.einsum("bod,bkd->bok", q_in, q_vn)
         skip = (negs != centers[:, None])                 # [B, K]
         m3 = mf[..., None] * skip[:, None, :].astype(dt)  # [B, 2W, K]
+        if dense_hot is not None:
+            m3 = m3 * jnp.float32(dense_hot[0])
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
         loss = loss + jnp.sum(
@@ -141,6 +180,10 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         din = din + jnp.einsum("bok,bkd->bod", g_neg, q_vn)
         v = scat(v, centers, dv_center)
         v = scat(v, negs.reshape(-1), dv_neg.reshape(-1, D))
+
+    if dv_hot is not None:
+        head = (v[:dv_hot.shape[0]].astype(dt) + dv_hot).astype(v.dtype)
+        v = lax.dynamic_update_slice(v, head, (0, 0))
 
     # --- u updates grouped by slab position ---
     din = din * mf[..., None] - two_ar * u_in * mf[..., None]
@@ -155,9 +198,15 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
 def make_skipgram_train_chunk(hyper: CBOWHyper, vocab_size: int,
                               batch_size: int, steps: int,
                               neg_sharing: int = 0, donate: bool = True,
-                              dedup_block: int = 0, neg_pool: int = 1):
-    """Same signature as make_slab_train_chunk, skip-gram objective."""
-    from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
+                              dedup_block: int = 0, neg_pool: int = 1,
+                              hot_rows: int = 0, dense_hot=None):
+    """Same signature as make_slab_train_chunk, skip-gram objective.
+
+    dense_hot = (kc, w_cold, hot_w[H]) with hot_rows = H: alias_prob/
+    alias_alias must be the COLD stratum's arrays (sampling/unigram.
+    build_stratified_tables); kc cold lanes drawn per pool at offset H."""
+    from word2bits_tpu.sampling.unigram import (AliasTable, _alias_draw,
+                                                draw_negatives)
 
     B, W, K = batch_size, hyper.window, hyper.negative
     P = neg_pool if (neg_sharing and neg_pool and neg_pool > 1) else 1
@@ -172,11 +221,18 @@ def make_skipgram_train_chunk(hyper: CBOWHyper, vocab_size: int,
         slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
         slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
         shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
-        negs = draw_negatives(k_neg, table, (neg_rows, P * K), vocab_size)
+        if dense_hot is not None:
+            negs = hot_rows + _alias_draw(
+                k_neg, table.prob, table.alias, (neg_rows, P * dense_hot[0]),
+                table.prob.shape[0])
+        else:
+            negs = draw_negatives(k_neg, table, (neg_rows, P * K), vocab_size)
         inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
                             shrink=shrink, neg_ids=negs)
         return skipgram_slab_step(u, v, inputs, alpha, hyper, B, neg_sharing,
-                                  dedup_block=dedup_block, neg_pool=P)
+                                  dedup_block=dedup_block, neg_pool=P,
+                                  dense_hot=(None if dense_hot is None else
+                                             (dense_hot[1], dense_hot[2])))
 
     if steps == 1:
         # No-scan capacity path (see models/cbow_fused.py)

@@ -162,7 +162,9 @@ def train(cfg: Word2BitsConfig,
         chunk_fn = make_skipgram_train_chunk(hyper, V, B, S,
                                              neg_sharing=cfg.neg_sharing,
                                              dedup_block=cfg.dedup_block,
-                                             neg_pool=cfg.neg_pool)
+                                             neg_pool=cfg.neg_pool,
+                                             hot_rows=cfg.hot_rows,
+                                             dense_hot=dense_hot)
     else:
         chunk_fn = make_slab_train_chunk(hyper, V, B, S,
                                          neg_sharing=cfg.neg_sharing,
