@@ -292,6 +292,8 @@ REFERENCE_FLAGS = {
     "-threads": ("threads", int),
     # Extensions beyond the reference:
     "-batch-size": ("batch_size", int),
+    "-steps-per-chunk": ("steps_per_chunk", int),
+    "-segment-tokens": ("segment_tokens", int),
     "-seed": ("seed", int),
     "-dtype": ("dtype", str),
     "-neg-sharing": ("neg_sharing", int),
