@@ -7,6 +7,7 @@ avoids lax.scan's double-buffered carry — the fix for the round-1 OOM at
 words/sec over a few pipelined steps, host-fetch sync only.
 
 Usage: python tools/capacity_probe.py [V] [D] [B] [--cpu] [--f32]
+                                      [--dense H]   (dense-hot negatives)
 """
 
 import json
@@ -41,7 +42,9 @@ def main():
     ids = np.minimum(rng.zipf(1.3, size=n_tokens) - 1, V - 1).astype(np.int32)
     tokens = jnp.asarray(ids)
     sents = jnp.asarray((np.arange(n_tokens) // 1000).astype(np.int32))
-    counts = np.maximum(rng.zipf(1.3, size=V).astype(np.float64), 1.0)
+    # count-sorted like a real vocab (SortVocab): id == frequency rank
+    counts = np.sort(np.maximum(rng.zipf(1.3, size=V).astype(np.float64),
+                                1.0))[::-1].copy()
     atab = build_alias_table(counts ** 0.75)
 
     hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.0)
@@ -49,7 +52,20 @@ def main():
     print(f"table: {V} x {2*D} {dtype.name} = {gb:.1f} GB",
           file=sys.stderr, flush=True)
     table = jnp.zeros((V, 2 * D), dtype)  # init_params' LCG is too slow at 3.7M
-    chunk1 = make_fused_train_chunk(hyper, V, B, steps=1, neg_sharing=G)
+    dense_H = 0
+    if "--dense" in sys.argv:
+        dense_H = int(sys.argv[sys.argv.index("--dense") + 1])
+    if dense_H:
+        from word2bits_tpu.sampling.unigram import build_stratified_tables
+        st = build_stratified_tables(counts ** 0.75, dense_H)
+        dh = st.dense_split(K)
+        atab = st.cold
+        print(f"dense-hot H={dense_H} p_hot={st.p_hot:.3f} kc={dh[0]}",
+              file=sys.stderr, flush=True)
+        chunk1 = make_fused_train_chunk(hyper, V, B, steps=1, neg_sharing=G,
+                                        hot_rows=dense_H, dense_hot=dh)
+    else:
+        chunk1 = make_fused_train_chunk(hyper, V, B, steps=1, neg_sharing=G)
 
     scalars = ChunkScalars(base0=jnp.int32(W), alpha0=jnp.float32(0.05),
                            wca_start=jnp.float32(0.0),
@@ -77,7 +93,7 @@ def main():
             break
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "V": V, "D": D, "B": B, "dtype": dtype.name,
+        "V": V, "D": D, "B": B, "dtype": dtype.name, "dense_hot": dense_H,
         "table_gb": round(gb, 2),
         "compile_s": round(compile_s, 1),
         "ms_per_step": round(dt / steps * 1e3, 1),

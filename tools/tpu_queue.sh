@@ -23,6 +23,7 @@ run step_bench 1800 python tools/step_bench.py
 run scatter_bench 1200 python tools/scatter_bench.py
 # 3. full-Wikipedia single-chip capacity probe (VERDICT missing #5)
 run capacity_3.7M 1200 python tools/capacity_probe.py 3700000 800 16384
+run capacity_3.7M_dense 1200 python tools/capacity_probe.py 3700000 800 16384 --dense 4096
 # 4. the round's headline: bench.py (self-supervising, retries internally)
 run bench 3600 python bench.py
 echo "$(date +%H:%M:%S) QUEUE DONE" >> "$OUT/queue.log"
