@@ -49,3 +49,30 @@ def test_rejects_high_bitlevel(tmp_path):
     vecs = _grid_vectors(1, 4, 4)
     with pytest.raises(ValueError):
         write_packed(str(tmp_path / "x"), ["a"] * 4, vecs, 4)
+
+
+def test_cli_accuracy_reads_packed(tmp_path, capsys):
+    """cli accuracy sniffs the W2BPACK1 magic and reports identically to
+    the fp32 file for the same vectors."""
+    import numpy as np
+    from word2bits_tpu.cli import accuracy_main
+    from word2bits_tpu.io.packed import write_packed
+    from word2bits_tpu.io.vectors import write_vectors
+
+    rng = np.random.default_rng(0)
+    words = ["cat", "dog", "sun", "moon", "red", "blue"]
+    third = np.float32(1.0) / np.float32(3.0)
+    vecs = np.where(rng.random((6, 16)) < 0.5, third, -third).astype(np.float32)
+    fp = str(tmp_path / "v.bin")
+    pk = str(tmp_path / "v.pack")
+    write_vectors(fp, words, vecs, binary=True)
+    write_packed(pk, words, vecs, bitlevel=1)
+    q = str(tmp_path / "q.txt")
+    open(q, "w").write(": sec\ncat dog sun moon\nsun moon red blue\n")
+
+    accuracy_main([fp, "0", "0", "-questions", q])
+    out_fp = capsys.readouterr().out
+    accuracy_main([pk, "0", "0", "-questions", q])
+    out_pk = capsys.readouterr().out
+    assert out_fp == out_pk
+    assert "Questions seen / total: 2 2" in out_pk

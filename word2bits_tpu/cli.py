@@ -74,9 +74,18 @@ def accuracy_main(argv=None) -> int:
 
     from word2bits_tpu.eval.analogy import (
         evaluate_analogies, format_report, load_questions)
+    from word2bits_tpu.io.packed import MAGIC, read_packed
     from word2bits_tpu.io.vectors import read_vectors
 
-    words, vectors = read_vectors(path, max_words=threshold)
+    with open(path, "rb") as f:
+        is_packed = f.read(len(MAGIC)) == MAGIC
+    if is_packed:
+        # -packed 1 output (extension): bit-packed 1/2-bit vectors
+        words, vectors, _ = read_packed(path)
+        if threshold:
+            words, vectors = words[:threshold], vectors[:threshold]
+    else:
+        words, vectors = read_vectors(path, max_words=threshold)
     print("Starting eval...", flush=True)
     if questions_path is None and sys.stdin.isatty():
         # interactive invocation with no -questions: default to the Google
