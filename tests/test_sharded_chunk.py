@@ -169,3 +169,39 @@ def test_sharded_dense_hot_chunk_equals_fused_single(mesh_shape, shared):
                                atol=3e-5)
     np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-4,
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("shared", [8, 0])
+def test_sharded_skipgram_dense_hot_equals_single(shared):
+    """Sharded skip-gram dense-hot chunk == single-chip skip-gram dense-hot
+    chunk with the same key."""
+    from word2bits_tpu.sampling.unigram import build_stratified_tables
+
+    S, B, W, K, V, D, H = 3, 32, 3, 4, 45, 16, 12
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.01)
+    u, v, toks, sents, _, scalars = _setup(1, S, B, W, V, D)
+    rng = np.random.default_rng(4)
+    counts = rng.integers(1, 50, V).astype(np.float64)
+    st = build_stratified_tables(counts ** 0.75, H)
+    dh = st.dense_split(K)
+    key = jax.random.PRNGKey(11)
+
+    single = make_skipgram_train_chunk(hyper, V, B, S, neg_sharing=shared,
+                                       donate=False, hot_rows=H, dense_hot=dh)
+    u1, v1, loss1 = single(jnp.asarray(u), jnp.asarray(v), jnp.asarray(toks),
+                           jnp.asarray(sents), st.cold.prob, st.cold.alias,
+                           scalars, key)
+
+    mesh = make_mesh({"data": 2, "vocab": 4})
+    up, vp = pad_vocab_rows(u, 4), pad_vocab_rows(v, 4)
+    chunk = make_sharded_chunk(_sharded_skipgram_body, hyper, mesh,
+                               up.shape[0], V, B, S, neg_sharing=shared,
+                               donate=False, dense_hot=dh, hot_rows=H)
+    ud, vd = shard_params(jnp.asarray(up), jnp.asarray(vp), mesh)
+    u2, v2, loss2 = chunk(ud, vd, jnp.asarray(toks), jnp.asarray(sents),
+                          st.cold.prob, st.cold.alias, scalars, key)
+
+    np.testing.assert_allclose(np.asarray(u2)[:V], np.asarray(u1), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(v2)[:V], np.asarray(v1), atol=3e-5)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-4,
+                               atol=1e-4)

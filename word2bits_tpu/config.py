@@ -207,10 +207,10 @@ class Word2BitsConfig:
                 # multi-chip: only the dense-hot negative path uses the hot
                 # boundary (vocab-local exact negatives, no cold-position
                 # precompute); the slab hot/cold scatter split is single-chip
-                if not (self.neg_dense_hot and self.model == "cbow"):
+                if not self.neg_dense_hot:
                     raise ValueError(
                         "with -mesh-shape, -hot-rows is only meaningful "
-                        "together with -neg-dense-hot 1 -model cbow")
+                        "together with -neg-dense-hot 1")
             elif self.model == "skipgram":
                 # skip-gram has no slab hot/cold split; the hot boundary is
                 # only the dense-hot negative stratum

@@ -30,7 +30,11 @@ from word2bits_tpu.parallel.sharded import _gather_rows, _scatter_delta
 def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
                            negs, alpha, hyper: CBOWHyper, B_global: int,
                            neg_sharing: int, vocab_shard_size: int,
-                           neg_pool: int = 1):
+                           neg_pool: int = 1, dense_hot=None):
+    """dense_hot = (w_cold, hot_w[H]): exact hot-stratum negatives per
+    (center, offset) pair, vocab-axis local — same collective shape as the
+    sharded_slab dense_hot path (no hot row exchange; one [B*2W, D] psum
+    for the pair-gradient term)."""
     W, K, D = hyper.window, hyper.negative, u_local.shape[1]
     bl, reg = hyper.bitlevel, hyper.reg
     dt = jnp.float32
@@ -44,9 +48,9 @@ def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     my_sents = lax.dynamic_slice(slab_sents, (start,), (B + 2 * W,))
     my_shrink = lax.dynamic_slice(shrink, (start,), (B,))
     if neg_sharing:
-        my_negs = negs                                     # [T_global, K]
+        my_negs = negs                                 # [T_global, P*Kl]
     else:
-        my_negs = lax.dynamic_slice(negs, (start, 0), (B, K))
+        my_negs = lax.dynamic_slice(negs, (start, 0), (B, negs.shape[1]))
 
     inputs = SlabInputs(my_tokens, my_sents, my_shrink, my_negs)
     slab_ids = jnp.maximum(my_tokens, 0)
@@ -97,9 +101,12 @@ def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
         if neg_pool > 1:
             # offset the member index by this shard's tile-slice start so
             # center->pool routing matches the single-chip pool_mask
-            eligible = eligible * pool_mask(G_local, K, neg_pool, dt,
+            eligible = eligible * pool_mask(G_local, PK // neg_pool,
+                                            neg_pool, dt,
                                             offset=di * G_local)[None]
         m4 = mf4[..., None] * eligible[:, :, None, :]
+        if dense_hot is not None:
+            m4 = m4 * jnp.float32(dense_hot[0])
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m4
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
         loss = loss + jnp.sum(
@@ -119,6 +126,8 @@ def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
         f_neg = jnp.einsum("bod,bkd->bok", q_in, q_vn)
         skip = (my_negs != centers[:, None])
         m3 = mf[..., None] * skip[:, None, :].astype(dt)
+        if dense_hot is not None:
+            m3 = m3 * jnp.float32(dense_hot[0])
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
         loss = loss + jnp.sum(
@@ -129,6 +138,35 @@ def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
         din = din + jnp.einsum("bok,bkd->bod", g_neg, q_vn)
         neg_rows_flat = my_negs.reshape(-1)
         dv_neg_flat = dv_neg.reshape(-1, D)
+
+    dv_hot = None
+    if dense_hot is not None:
+        hot_w = jnp.asarray(dense_hot[1], dt)              # [H] replicated
+        H = hot_w.shape[0]
+        Hs = min(H, Vs)
+        vi = lax.axis_index(VOCAB_AXIS)
+        gidx = vi * Vs + jnp.arange(Hs, dtype=jnp.int32)
+        w_loc = jnp.where(gidx < H, hot_w[jnp.clip(gidx, 0, H - 1)], 0.0)
+        v_h = v_local[:Hs].astype(dt)
+        q_vh = quantize(v_h, bl)
+        q_in2 = q_in.reshape(B * 2 * W, D)
+        f_h = lax.dot_general(q_in2, q_vh, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        c_rep = jnp.broadcast_to(centers[:, None], (B, 2 * W)).reshape(-1)
+        skip_h = gidx[None, :] != c_rep[:, None]
+        mh = (skip_h.astype(dt) * mf.reshape(-1)[:, None] * w_loc[None, :])
+        g_h = (0.0 - sigmoid_lut(f_h)) * alpha * mh
+        vh_sq = jnp.sum(q_vh * q_vh, axis=-1)
+        hot_loss = jnp.sum(
+            (jnp.log(sigmoid_exact(-f_h)) - reg * vh_sq[None, :]) * mh)
+        loss = loss + lax.psum(hot_loss, VOCAB_AXIS)
+        din = din + lax.psum(
+            lax.dot_general(g_h, q_vh, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32),
+            VOCAB_AXIS).reshape(B, 2 * W, D)
+        dv_hot = lax.dot_general(g_h, q_in2, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dv_hot = dv_hot - two_ar * v_h * jnp.sum(mh, axis=0)[:, None]
 
     din = din * mf[..., None] - two_ar * u_in * mf[..., None]
     shifted = jnp.stack(
@@ -143,6 +181,8 @@ def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
                              (Vs, D))
     delta_v = delta_v + _scatter_delta(neg_rows_flat, dv_neg_flat, ones_neg,
                                        vocab_shard_size, (Vs, D))
+    if dv_hot is not None:
+        delta_v = delta_v.at[:dv_hot.shape[0]].add(dv_hot)
     delta_u = _scatter_delta(slab_ids, du_slab, ones_slab, vocab_shard_size,
                              (Vs, D))
     delta_v = lax.psum(delta_v, DATA_AXIS)
