@@ -74,3 +74,50 @@ def test_score_kernel_matches_xla(reg):
     np.testing.assert_allclose(np.asarray(got_dv), np.asarray(want_dv),
                                atol=1e-5)
     np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+
+
+class TestHotPallas:
+    def test_matches_hot_slice_add(self):
+        from word2bits_tpu.kernels.hot_pallas import hot_slice_add_pallas
+        from word2bits_tpu.ops.scatter import hot_slice_add
+        rng = np.random.default_rng(0)
+        V, C, N, H = 300, 40, 777, 128
+        table = jnp.asarray(rng.uniform(-1, 1, (V, C)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, V, N).astype(np.int32))
+        rows = jnp.asarray(rng.uniform(-1, 1, (N, C)).astype(np.float32))
+        extra = jnp.asarray(rng.uniform(-1, 1, (H, C)).astype(np.float32))
+        want = hot_slice_add(table, ids, rows, H, extra=extra)
+        got = hot_slice_add_pallas(table, ids, rows, H, extra=extra,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_step_with_hot_pallas_equals_baseline(self):
+        """fused step routed through the Pallas hot kernel == XLA hot path."""
+        from word2bits_tpu.data.pipeline import cold_positions
+        from word2bits_tpu.models.cbow import CBOWHyper
+        from word2bits_tpu.models.cbow_fused import fused_slab_step
+        from word2bits_tpu.models.cbow_slab import SlabInputs
+
+        B, W, K, G, V, D, H = 32, 3, 4, 8, 50, 16, 16
+        rng = np.random.default_rng(31)
+        u = rng.uniform(-0.5, 0.5, (V, 2 * D)).astype(np.float32)
+        toks = rng.integers(-1, V, B + 2 * W).astype(np.int32)
+        sents = np.sort(rng.integers(0, 4, B + 2 * W)).astype(np.int32)
+        inputs = SlabInputs(
+            slab_tokens=jnp.asarray(toks), slab_sents=jnp.asarray(sents),
+            shrink=jnp.asarray(rng.integers(0, W, B).astype(np.int32)),
+            neg_ids=jnp.asarray(rng.integers(1, V, (B // G, K)).astype(np.int32)))
+        hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.01)
+        ids = np.maximum(toks, 0)
+        cold = np.flatnonzero(ids >= H).astype(np.int32)
+        cp = np.full(max(8, len(cold)), -1, np.int32)
+        cp[:len(cold)] = cold
+        kw = dict(hot_rows=H, cold_pos=jnp.asarray(cp))
+        base, l1 = fused_slab_step(jnp.asarray(u), inputs, jnp.float32(0.05),
+                                   hyper, B, G, **kw)
+        got, l2 = fused_slab_step(jnp.asarray(u), inputs, jnp.float32(0.05),
+                                  hyper, B, G, hot_pallas=True, **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   atol=1e-5)
+        np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)

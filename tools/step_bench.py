@@ -83,6 +83,12 @@ def main():
         for H in (1024, 4096):
             yield (f"fused-dense{H}", B,
                    dict(neg_sharing=G, hot_rows=H, densehot=True), "fused")
+        for H in (4096, 16384):
+            yield (f"fused-hotpl{H}", B,
+                   dict(neg_sharing=G, hot_rows=H, hot_pallas=True), "fused")
+        yield ("fused-dense4096-pl", B,
+               dict(neg_sharing=G, hot_rows=4096, densehot=True,
+                    hot_pallas=True), "fused")
         Bp = 2048
         yield "percenter", Bp, dict(neg_sharing=0), "slab"
         for M in (1024, 2048):

@@ -108,6 +108,10 @@ class Word2BitsConfig:
     # sampling variance for ~90% of the negative mass, per-center exact).
     # Only the cold tail stays sampled.  See models/cbow_fused.py.
     neg_dense_hot: bool = False
+    # Route the hot-row dense accumulation through the Pallas fused
+    # one-hot kernel (kernels/hot_pallas.py): one-hot tiles generated in
+    # VMEM instead of a [N, H] HBM operand.  Requires -hot-rows.
+    hot_pallas: bool = False
     # Full train-state checkpointing (extension: the reference can only
     # export vectors per epoch, not resume — SURVEY.md section 5).
     checkpoint_dir: Optional[str] = None
@@ -202,6 +206,11 @@ class Word2BitsConfig:
             raise ValueError("use_pallas is implemented for the cbow model")
         if self.hot_rows < 0:
             raise ValueError(f"hot_rows must be >= 0, got {self.hot_rows}")
+        if self.hot_pallas and not self.hot_rows:
+            raise ValueError("hot_pallas requires -hot-rows H")
+        if self.hot_pallas and self.mesh_shape:
+            raise ValueError("hot_pallas is single-chip only (the sharded "
+                             "path applies deltas shard-locally)")
         if self.hot_rows:
             if self.mesh_shape:
                 # multi-chip: only the dense-hot negative path uses the hot
@@ -312,6 +321,7 @@ REFERENCE_FLAGS = {
     "-mesh-shape": ("mesh_shape", lambda s: {
         k.strip(): int(v) for k, v in
         (kv.split("=") for kv in s.split(",") if kv.strip())}),
+    "-hot-pallas": ("hot_pallas", lambda s: bool(int(s))),
     "-neg-stratify": ("neg_stratify", lambda s: bool(int(s))),
     "-neg-dense-hot": ("neg_dense_hot", lambda s: bool(int(s))),
     "-profile-dir": ("profile_dir", str),

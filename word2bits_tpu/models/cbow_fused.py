@@ -48,7 +48,8 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                     batch_size: int, neg_sharing: int,
                     use_pallas: bool = False, dedup_block: int = 0,
                     neg_pool: int = 1, hot_rows: int = 0, cold_pos=None,
-                    strat_lanes=None, dense_hot=None):
+                    strat_lanes=None, dense_hot=None,
+                    hot_pallas: bool = False):
     """One synchronous step on the fused (V, 2D) table. Shared negatives
     required (the fused layout exists for the optimized path).
     use_pallas routes the negative score/gradient phase through the fused
@@ -243,8 +244,17 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                 table = lax.dynamic_update_slice(table, head, (0, 0))
             table = scat(table, slab_ids, fused_rows)
         else:
-            table = hot_slice_add(table, hot_ids, hot_mat, hot_rows,
-                                  extra=extra)
+            if hot_pallas:
+                # in-kernel one-hot tiles: no [N, H] operand in HBM
+                from word2bits_tpu.kernels.hot_pallas import \
+                    hot_slice_add_pallas
+                interp = jax.default_backend() not in ("tpu", "axon")
+                table = hot_slice_add_pallas(table, hot_ids, hot_mat,
+                                             hot_rows, extra=extra,
+                                             interpret=interp)
+            else:
+                table = hot_slice_add(table, hot_ids, hot_mat, hot_rows,
+                                      extra=extra)
             ok = cold_pos >= 0
             posc = jnp.maximum(cold_pos, 0)
             ids_cold = jnp.where(ok, slab_ids[posc], jnp.int32(0x7FFFFFF0))
@@ -280,7 +290,7 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                            donate: bool = True, use_pallas: bool = False,
                            dedup_block: int = 0, neg_pool: int = 1,
                            hot_rows: int = 0, strat_lanes=None,
-                           dense_hot=None):
+                           dense_hot=None, hot_pallas: bool = False):
     """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key
     [, cold_pos]) -> (table, loss_sum); table is the fused (V, 2D) array.
 
@@ -339,7 +349,8 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                                hot_rows=hot_rows, cold_pos=cp,
                                strat_lanes=strat_lanes,
                                dense_hot=(None if dense_hot is None else
-                                          (dense_hot[1], dense_hot[2])))
+                                          (dense_hot[1], dense_hot[2])),
+                               hot_pallas=hot_pallas)
 
     if steps == 1:
         # No-scan capacity path: lax.scan double-buffers the carried table

@@ -141,7 +141,8 @@ def train(cfg: Word2BitsConfig,
                                           neg_pool=cfg.neg_pool,
                                           hot_rows=cfg.hot_rows,
                                           strat_lanes=strat_lanes,
-                                          dense_hot=dense_hot)
+                                          dense_hot=dense_hot,
+                                          hot_pallas=cfg.hot_pallas)
         # -hot-rows: the per-segment cold-row compaction map, updated by the
         # segment loop below (an explicit jit arg; the holder just threads it
         # through this fixed chunk_fn signature)
