@@ -35,6 +35,12 @@ python -m word2bits_tpu.cli train -train corpus.txt -output cbow.bin -binary 1 \
     -batch-size 128 -neg-sharing 16 -fused-tables 1 -dtype bfloat16 \
     -packed 1 -checkpoint-dir ckpt -resume 1 -debug 1 | tail -2
 
+echo "== CBOW train (hot/cold scatter split + dense-hot negatives) =="
+python -m word2bits_tpu.cli train -train corpus.txt -output dh.bin -binary 1 \
+    -size 32 -window 3 -negative 6 -iter 2 -min-count 2 -bitlevel 1 \
+    -batch-size 128 -neg-sharing 16 -fused-tables 1 \
+    -hot-rows 16 -neg-dense-hot 1 -debug 1 | tail -2
+
 echo "== skip-gram train =="
 python -m word2bits_tpu.cli train -train corpus.txt -output sg.bin -binary 1 \
     -size 32 -window 3 -negative 6 -iter 2 -min-count 2 -bitlevel 1 \
