@@ -115,3 +115,26 @@ class TestStratifiedSampler:
         for st_, K in ((st2, 8), (build_stratified_tables(w, 64), 24)):
             kh_, wh_, wc_ = st_.lane_split(K)
             assert abs(kh_ * wh_ + (K - kh_) * wc_ - K) < 1e-9
+
+
+def test_native_alias_build_bit_identical():
+    """The C++ Walker construction must match the Python builder exactly
+    (same stack order, same float ops)."""
+    from word2bits_tpu import native
+    import word2bits_tpu.sampling.unigram as ug
+    if native.lib is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 17, 5000):
+        w = np.maximum(rng.zipf(1.2, n).astype(np.float64), 1.0) ** 0.75
+        t_nat = ug.build_alias_table(w)
+        saved, native.lib = native.lib, None
+        try:
+            t_py = ug.build_alias_table(w)
+        finally:
+            native.lib = saved
+        np.testing.assert_array_equal(np.asarray(t_nat.alias),
+                                      np.asarray(t_py.alias))
+        np.testing.assert_array_equal(np.asarray(t_nat.prob),
+                                      np.asarray(t_py.prob))

@@ -28,6 +28,12 @@ class _NativeLib:
         self._lib.w2b_encode.restype = ctypes.c_int64
         self._lib.w2b_encode.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                          ctypes.c_char_p]
+        self._lib.w2b_alias_build.restype = ctypes.c_int64
+        self._lib.w2b_alias_build.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64]
 
     def count_words(self, path: str) -> Optional[Dict[str, int]]:
         with tempfile.NamedTemporaryFile(suffix=".counts", delete=False) as tf:
@@ -64,6 +70,19 @@ class _NativeLib:
         finally:
             os.unlink(vocab_path)
             os.unlink(out)
+
+    def alias_build(self, scaled: np.ndarray):
+        """Walker construction from mean-1 scaled weights; returns
+        (prob float64 [V], alias int64 [V]) or None on failure.
+        `scaled` must be a fresh C-contiguous float64 copy (mutated)."""
+        V = scaled.shape[0]
+        prob = np.empty(V, np.float64)
+        alias = np.empty(V, np.int64)
+        try:
+            rc = self._lib.w2b_alias_build(scaled, prob, alias, V)
+        except Exception:
+            return None
+        return (prob, alias) if rc == V else None
 
 
 def _build() -> Optional[_NativeLib]:

@@ -168,4 +168,34 @@ int64_t w2b_encode(const char* corpus_path, const char* vocab_path,
   return rc == 0 ? count : -1;
 }
 
+// Walker alias-table construction (sampling/unigram.build_alias_table fast
+// path).  `scaled` is the weight array pre-scaled to mean 1 (w * V / sum),
+// MUTATED in place exactly like the Python builder's working copy.  The
+// stack order reproduces the Python implementation bit for bit: small/large
+// built in ascending index order, popped from the back, and the large
+// residual computed as (scaled[l] + scaled[s]) - 1.0 in double.  At 3.7M
+// rows this runs in ~0.1 s where the pure-Python loop needs minutes (the
+// full-Wikipedia config's startup cost).
+int64_t w2b_alias_build(double* scaled, double* prob, int64_t* alias,
+                        int64_t V) {
+  std::vector<int64_t> small, large;
+  small.reserve(V);
+  large.reserve(V);
+  for (int64_t i = 0; i < V; i++) {
+    prob[i] = 1.0;
+    alias[i] = i;
+    if (scaled[i] < 1.0) small.push_back(i); else large.push_back(i);
+  }
+  while (!small.empty() && !large.empty()) {
+    int64_t s = small.back(); small.pop_back();
+    int64_t l = large.back(); large.pop_back();
+    prob[s] = scaled[s];
+    alias[s] = l;
+    scaled[l] = (scaled[l] + scaled[s]) - 1.0;
+    if (scaled[l] < 1.0) small.push_back(l); else large.push_back(l);
+  }
+  // leftovers (numerical dust): probability 1, self-alias
+  return V;
+}
+
 }  // extern "C"

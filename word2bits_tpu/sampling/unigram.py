@@ -48,6 +48,21 @@ def build_alias_table(weights: np.ndarray) -> AliasTable:
         raise ValueError("weights must have positive sum")
     V = w.shape[0]
     scaled = w * (V / total)  # mean 1
+
+    # C++ fast path (native/tokenizer.cpp w2b_alias_build): bit-identical
+    # construction, ~1000x the pure-Python stack loop (3.7M rows: ~0.1 s
+    # vs minutes — the full-Wikipedia config's startup cost)
+    try:
+        from word2bits_tpu import native
+        if native.lib is not None:
+            out = native.lib.alias_build(
+                np.ascontiguousarray(scaled, np.float64))
+            if out is not None:
+                return AliasTable(prob=jnp.asarray(out[0], jnp.float32),
+                                  alias=jnp.asarray(out[1], jnp.int32))
+    except Exception:
+        pass
+
     prob = np.ones(V, dtype=np.float64)
     alias = np.arange(V, dtype=np.int64)
 
