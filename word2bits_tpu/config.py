@@ -112,6 +112,14 @@ class Word2BitsConfig:
     # one-hot kernel (kernels/hot_pallas.py): one-hot tiles generated in
     # VMEM instead of a [N, H] HBM operand.  Requires -hot-rows.
     hot_pallas: bool = False
+    # Multi-chip dense-hot balance (-mesh-shape + -neg-dense-hot): place the
+    # hot head interleaved across the vocab shards (parallel/layout.py) so
+    # each shard runs its OWN [., H/nv] dense sub-range instead of every
+    # shard redundantly repeating the full [., H] contraction (the count-
+    # sorted hot head otherwise lives entirely on shard 0).  Numerically
+    # identical; on by default, `-hot-interleave 0` keeps the contiguous
+    # layout.
+    hot_interleave: bool = True
     # Full train-state checkpointing (extension: the reference can only
     # export vectors per epoch, not resume — SURVEY.md section 5).
     checkpoint_dir: Optional[str] = None
@@ -322,6 +330,7 @@ REFERENCE_FLAGS = {
         k.strip(): int(v) for k, v in
         (kv.split("=") for kv in s.split(",") if kv.strip())}),
     "-hot-pallas": ("hot_pallas", lambda s: bool(int(s))),
+    "-hot-interleave": ("hot_interleave", lambda s: bool(int(s))),
     "-neg-stratify": ("neg_stratify", lambda s: bool(int(s))),
     "-neg-dense-hot": ("neg_dense_hot", lambda s: bool(int(s))),
     "-profile-dir": ("profile_dir", str),

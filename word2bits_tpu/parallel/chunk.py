@@ -32,7 +32,7 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
                        vocab_size_padded: int, vocab_size: int,
                        batch_size: int, steps: int, neg_sharing: int = 0,
                        neg_pool: int = 1, donate: bool = True,
-                       dense_hot=None, hot_rows: int = 0):
+                       dense_hot=None, hot_rows: int = 0, hot_layout=None):
     """jit(shard_map) chunk running `steps` sharded minibatch steps.
 
     `body_fn` is one of the per-step sharded bodies
@@ -52,6 +52,11 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
     hot-stratum negatives (sharded_slab dense_hot): alias_prob/alias_alias
     must then be the COLD stratum's arrays and kc cold lanes are drawn per
     pool at offset H (same key structure as the fused single-chip chunk).
+
+    hot_layout (parallel/layout.HotLayout): u/v must be placed in the
+    balanced hot layout (layout.to_layout before shard_params); hot_w is
+    zero-padded to layout.hot_pad here.  Each shard then runs its own
+    [., H/nv] dense hot sub-range instead of a redundant [., H].
     """
     nd = mesh.shape[DATA_AXIS]
     nv = mesh.shape[VOCAB_AXIS]
@@ -93,7 +98,12 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
                 negs = hot_rows + _alias_draw(
                     k_neg, table.prob, table.alias,
                     (neg_rows, pools * dense_hot[0]), table.prob.shape[0])
-                body_kw["dense_hot"] = (dense_hot[1], dense_hot[2])
+                hot_w = dense_hot[2]
+                if hot_layout is not None:
+                    from word2bits_tpu.parallel.layout import pad_hot_weights
+                    hot_w = pad_hot_weights(hot_w, hot_layout)
+                    body_kw["hot_layout"] = hot_layout
+                body_kw["dense_hot"] = (dense_hot[1], hot_w)
             else:
                 negs = draw_negatives(k_neg, table, (neg_rows, pools * K),
                                       vocab_size)

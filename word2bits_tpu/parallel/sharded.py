@@ -66,6 +66,29 @@ def _scatter_delta(ids, rows, mask, vocab_shard_size, out_shape):
         (rows * m).reshape(-1, D), mode="drop")
 
 
+def _gather_rows_layout(table_local, ids, layout):
+    """_gather_rows under the balanced hot layout (parallel/layout.py):
+    ownership follows the piecewise hot/cold slot map instead of
+    contiguous-range division.  Same collective (one psum over "vocab")."""
+    my = lax.axis_index(VOCAB_AXIS)
+    owner, local = layout.owner_local(ids)
+    rows = table_local[local]
+    mine = (owner == my)[..., None].astype(rows.dtype)
+    return lax.psum(rows * mine, VOCAB_AXIS)
+
+
+def _scatter_delta_layout(ids, rows, mask, layout, out_shape):
+    """_scatter_delta under the balanced hot layout."""
+    my = lax.axis_index(VOCAB_AXIS)
+    owner, local = layout.owner_local(ids)
+    local = jnp.where(owner == my, local, out_shape[0])
+    m = (mask & (owner == my))[..., None].astype(rows.dtype)
+    delta = jnp.zeros(out_shape, rows.dtype)
+    D = out_shape[1]
+    return delta.at[local.reshape(-1)].add(
+        (rows * m).reshape(-1, D), mode="drop")
+
+
 def sharded_minibatch_update(u_local, v_local, batch: Batch, alpha,
                              hyper: CBOWHyper, vocab_shard_size: int):
     """The cbow_minibatch_update math with vocab-sharded tables.  Runs inside

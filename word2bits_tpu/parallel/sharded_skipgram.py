@@ -24,17 +24,26 @@ from word2bits_tpu.models.cbow_slab import (
 from word2bits_tpu.ops.quantize import quantize
 from word2bits_tpu.ops.sigmoid import sigmoid_exact, sigmoid_lut
 from word2bits_tpu.parallel.mesh import DATA_AXIS, VOCAB_AXIS
-from word2bits_tpu.parallel.sharded import _gather_rows, _scatter_delta
+from word2bits_tpu.parallel.sharded import (
+    _gather_rows,
+    _gather_rows_layout,
+    _scatter_delta,
+    _scatter_delta_layout,
+)
 
 
 def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
                            negs, alpha, hyper: CBOWHyper, B_global: int,
                            neg_sharing: int, vocab_shard_size: int,
-                           neg_pool: int = 1, dense_hot=None):
+                           neg_pool: int = 1, dense_hot=None,
+                           hot_layout=None):
     """dense_hot = (w_cold, hot_w[H]): exact hot-stratum negatives per
     (center, offset) pair, vocab-axis local — same collective shape as the
     sharded_slab dense_hot path (no hot row exchange; one [B*2W, D] psum
-    for the pair-gradient term)."""
+    for the pair-gradient term).
+
+    hot_layout (parallel/layout.HotLayout, requires dense_hot): balanced
+    hot-head placement — see _sharded_slab_body."""
     W, K, D = hyper.window, hyper.negative, u_local.shape[1]
     bl, reg = hyper.bitlevel, hyper.reg
     dt = jnp.float32
@@ -56,13 +65,29 @@ def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     slab_ids = jnp.maximum(my_tokens, 0)
     centers = slab_ids[W:W + B]
 
+    if hot_layout is None:
+        def gat(tab, ids):
+            return _gather_rows(tab, ids, vocab_shard_size)
+
+        def scat(ids, rows, mask):
+            return _scatter_delta(ids, rows, mask, vocab_shard_size, (Vs, D))
+    else:
+        if dense_hot is None:
+            raise ValueError("hot_layout requires dense_hot")
+
+        def gat(tab, ids):
+            return _gather_rows_layout(tab, ids, hot_layout)
+
+        def scat(ids, rows, mask):
+            return _scatter_delta_layout(ids, rows, mask, hot_layout, (Vs, D))
+
     # issue ALL vocab-axis row exchanges up front: the three gathers'
     # psums are independent, so XLA's latency-hiding scheduler can overlap
     # them with each other and with the mask/context compute below instead
     # of serializing gather -> compute -> gather (ROADMAP overlap item)
-    u_slab = _gather_rows(u_local, slab_ids, vocab_shard_size).astype(dt)
-    v_c = _gather_rows(v_local, centers, vocab_shard_size).astype(dt)
-    v_n = _gather_rows(v_local, my_negs, vocab_shard_size).astype(dt)
+    u_slab = gat(u_local, slab_ids).astype(dt)
+    v_c = gat(v_local, centers).astype(dt)
+    v_n = gat(v_local, my_negs).astype(dt)
     q_slab = quantize(u_slab, bl)
 
     offsets, mask, valid = _context_masks(inputs, B, W)
@@ -143,9 +168,15 @@ def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     if dense_hot is not None:
         hot_w = jnp.asarray(dense_hot[1], dt)              # [H] replicated
         H = hot_w.shape[0]
-        Hs = min(H, Vs)
         vi = lax.axis_index(VOCAB_AXIS)
-        gidx = vi * Vs + jnp.arange(Hs, dtype=jnp.int32)
+        if hot_layout is None:
+            Hs = min(H, Vs)
+            gidx = vi * Vs + jnp.arange(Hs, dtype=jnp.int32)
+        else:
+            # balanced layout: shard vi's leading rows are its own hot
+            # sub-range — [., H/nv] FLOPs per shard instead of [., H]
+            Hs = hot_layout.hot_per_shard
+            gidx = vi * Hs + jnp.arange(Hs, dtype=jnp.int32)
         w_loc = jnp.where(gidx < H, hot_w[jnp.clip(gidx, 0, H - 1)], 0.0)
         v_h = v_local[:Hs].astype(dt)
         q_vh = quantize(v_h, bl)
@@ -177,14 +208,11 @@ def _sharded_skipgram_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     ones_b = jnp.ones(centers.shape, bool)
     ones_slab = jnp.ones(slab_ids.shape, bool)
     ones_neg = jnp.ones(neg_rows_flat.shape, bool)
-    delta_v = _scatter_delta(centers, dv_center, ones_b, vocab_shard_size,
-                             (Vs, D))
-    delta_v = delta_v + _scatter_delta(neg_rows_flat, dv_neg_flat, ones_neg,
-                                       vocab_shard_size, (Vs, D))
+    delta_v = scat(centers, dv_center, ones_b)
+    delta_v = delta_v + scat(neg_rows_flat, dv_neg_flat, ones_neg)
     if dv_hot is not None:
         delta_v = delta_v.at[:dv_hot.shape[0]].add(dv_hot)
-    delta_u = _scatter_delta(slab_ids, du_slab, ones_slab, vocab_shard_size,
-                             (Vs, D))
+    delta_u = scat(slab_ids, du_slab, ones_slab)
     delta_v = lax.psum(delta_v, DATA_AXIS)
     delta_u = lax.psum(delta_u, DATA_AXIS)
     loss = lax.psum(loss, DATA_AXIS)

@@ -27,13 +27,18 @@ from word2bits_tpu.models.cbow_slab import SlabInputs, _context_masks
 from word2bits_tpu.ops.quantize import quantize
 from word2bits_tpu.ops.sigmoid import sigmoid_exact, sigmoid_lut
 from word2bits_tpu.parallel.mesh import DATA_AXIS, VOCAB_AXIS
-from word2bits_tpu.parallel.sharded import _gather_rows, _scatter_delta
+from word2bits_tpu.parallel.sharded import (
+    _gather_rows,
+    _gather_rows_layout,
+    _scatter_delta,
+    _scatter_delta_layout,
+)
 
 
 def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
                        negs, alpha, hyper: CBOWHyper, B_global: int,
                        neg_sharing: int, vocab_shard_size: int,
-                       neg_pool: int = 1, dense_hot=None):
+                       neg_pool: int = 1, dense_hot=None, hot_layout=None):
     """Runs inside shard_map. Global inputs replicated; params vocab-sharded.
 
     dense_hot = (w_cold, hot_w[H]) enables exact hot-stratum negatives
@@ -41,7 +46,14 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     OWN local rows whose global index is < H (weights masked to zero
     elsewhere), so the hot head needs NO row exchange — only the [B, D]
     expected-gradient term and the scalar loss psum over "vocab".  `negs`
-    then carries cold-only draws (ids >= H) weighted by w_cold."""
+    then carries cold-only draws (ids >= H) weighted by w_cold.
+
+    hot_layout (parallel/layout.HotLayout, requires dense_hot): tables are
+    placed in the balanced hot layout, so each shard's leading rows are its
+    OWN H/nv hot sub-range and the dense contraction shrinks to [B, H/nv]
+    per shard (nv x fewer redundant FLOPs); gathers/scatters use the
+    piecewise slot map.  hot_w must be padded to layout.hot_pad
+    (layout.pad_hot_weights)."""
     W, K, D = hyper.window, hyper.negative, u_local.shape[1]
     bl, reg = hyper.bitlevel, hyper.reg
     # compute in f32 even when the backing store is bf16, as
@@ -73,13 +85,29 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     slab_ids = jnp.maximum(my_tokens, 0)
     centers = slab_ids[W:W + B]
 
+    if hot_layout is None:
+        def gat(tab, ids):
+            return _gather_rows(tab, ids, vocab_shard_size)
+
+        def scat(ids, rows, mask):
+            return _scatter_delta(ids, rows, mask, vocab_shard_size, (Vs, D))
+    else:
+        if dense_hot is None:
+            raise ValueError("hot_layout requires dense_hot")
+
+        def gat(tab, ids):
+            return _gather_rows_layout(tab, ids, hot_layout)
+
+        def scat(ids, rows, mask):
+            return _scatter_delta_layout(ids, rows, mask, hot_layout, (Vs, D))
+
     # issue ALL vocab-axis row exchanges up front: the three gathers'
     # psums are independent, so XLA's latency-hiding scheduler can overlap
     # them with each other and with the mask/context compute below instead
     # of serializing gather -> compute -> gather (ROADMAP overlap item)
-    u_slab = _gather_rows(u_local, slab_ids, vocab_shard_size).astype(dt)
-    v_c = _gather_rows(v_local, centers, vocab_shard_size).astype(dt)
-    v_n = _gather_rows(v_local, my_negs, vocab_shard_size).astype(dt)
+    u_slab = gat(u_local, slab_ids).astype(dt)
+    v_c = gat(v_local, centers).astype(dt)
+    v_n = gat(v_local, my_negs).astype(dt)
     q_slab = quantize(u_slab, bl)
 
     offsets, mask, valid = _context_masks(inputs, B, W)
@@ -166,9 +194,17 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
         # owners contribute).  No hot-row gather/psum at all.
         hot_w = jnp.asarray(dense_hot[1], dt)              # [H], replicated
         H = hot_w.shape[0]
-        Hs = min(H, Vs)
         vi = lax.axis_index(VOCAB_AXIS)
-        gidx = vi * Vs + jnp.arange(Hs, dtype=jnp.int32)
+        if hot_layout is None:
+            # unbalanced: the hot head lives on the leading shard(s); every
+            # shard burns the same [B, Hs] FLOPs, only owners contribute
+            Hs = min(H, Vs)
+            gidx = vi * Vs + jnp.arange(Hs, dtype=jnp.int32)
+        else:
+            # balanced layout: shard vi's leading rows ARE its own hot
+            # sub-range [vi*Hs, (vi+1)*Hs) — [B, H/nv] FLOPs per shard
+            Hs = hot_layout.hot_per_shard
+            gidx = vi * Hs + jnp.arange(Hs, dtype=jnp.int32)
         w_loc = jnp.where(gidx < H, hot_w[jnp.clip(gidx, 0, H - 1)], 0.0)
         v_h = v_local[:Hs].astype(dt)
         q_vh = quantize(v_h, bl)
@@ -204,15 +240,13 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     # scatter into local shard deltas; sum over the data axis
     ones_b = jnp.ones(centers.shape, bool)
     ones_slab = jnp.ones(slab_ids.shape, bool)
-    delta_v = _scatter_delta(centers, dv_center, ones_b, vocab_shard_size,
-                             (Vs, D))
-    delta_v = delta_v + _scatter_delta(neg_rows_flat, dv_neg_flat, neg_mask,
-                                       vocab_shard_size, (Vs, D))
+    delta_v = scat(centers, dv_center, ones_b)
+    delta_v = delta_v + scat(neg_rows_flat, dv_neg_flat, neg_mask)
     if dv_hot is not None:
-        # dense hot v-deltas land on this shard's own leading rows
+        # dense hot v-deltas land on this shard's own leading rows (in the
+        # balanced layout those ARE the shard's hot sub-range slots)
         delta_v = delta_v.at[:dv_hot.shape[0]].add(dv_hot)
-    delta_u = _scatter_delta(slab_ids, du_slab, ones_slab, vocab_shard_size,
-                             (Vs, D))
+    delta_u = scat(slab_ids, du_slab, ones_slab)
     delta_v = lax.psum(delta_v, DATA_AXIS)
     delta_u = lax.psum(delta_u, DATA_AXIS)
     loss = lax.psum(loss, DATA_AXIS)
@@ -223,7 +257,7 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
 def make_sharded_slab_step(hyper: CBOWHyper, mesh: Mesh,
                            vocab_size_padded: int, batch_size: int,
                            neg_sharing: int = 0, neg_pool: int = 1,
-                           dense_hot=None):
+                           dense_hot=None, hot_layout=None):
     """jit(shard_map) step: (u_loc, v_loc, slab_tokens, slab_sents, shrink,
     negs, alpha) -> (u_loc, v_loc, loss).  Inputs replicated, params
     vocab-sharded."""
@@ -246,7 +280,7 @@ def make_sharded_slab_step(hyper: CBOWHyper, mesh: Mesh,
         u_local, v_local, loss = _sharded_slab_body(
             u_local, v_local, slab_tokens, slab_sents, shrink, negs, alpha,
             hyper, batch_size, neg_sharing, vss, neg_pool=neg_pool,
-            dense_hot=dense_hot)
+            dense_hot=dense_hot, hot_layout=hot_layout)
         loss = lax.psum(loss, VOCAB_AXIS) / nv
         return u_local, v_local, loss
 

@@ -49,11 +49,23 @@ class ShardedTrainer:
         vp = pad_vocab_rows(np.asarray(v), self.nv)
         body = (_sharded_skipgram_body if cfg.model == "skipgram"
                 else _sharded_slab_body)
+        # balanced hot layout: interleave the dense-hot head across the
+        # vocab shards so its MXU contraction is H/nv per shard instead of
+        # a redundant H on every shard (parallel/layout.py)
+        self.layout = None
+        if (dense_hot is not None and cfg.hot_interleave and self.nv > 1
+                and -(-cfg.hot_rows // self.nv) * self.nv < up.shape[0]):
+            from word2bits_tpu.parallel.layout import make_hot_layout
+            self.layout = make_hot_layout(up.shape[0], self.nv, cfg.hot_rows)
         self.chunk_fn = make_sharded_chunk(
             body, hyper, self.mesh, up.shape[0], vocab_size,
             cfg.batch_size, cfg.steps_per_chunk,
             neg_sharing=cfg.neg_sharing, neg_pool=cfg.neg_pool,
-            dense_hot=dense_hot, hot_rows=cfg.hot_rows)
+            dense_hot=dense_hot, hot_rows=cfg.hot_rows,
+            hot_layout=self.layout)
+        if self.layout is not None:
+            from word2bits_tpu.parallel.layout import to_layout
+            up, vp = to_layout(up, self.layout), to_layout(vp, self.layout)
         self.u, self.v = shard_params(jnp.asarray(up), jnp.asarray(vp),
                                       self.mesh)
 
@@ -66,5 +78,9 @@ class ShardedTrainer:
         return loss
 
     def params(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Unsharded, unpadded parameter copies."""
-        return (np.asarray(self.u)[:self.V], np.asarray(self.v)[:self.V])
+        """Unsharded, unpadded parameter copies (layout undone)."""
+        u, v = np.asarray(self.u), np.asarray(self.v)
+        if self.layout is not None:
+            from word2bits_tpu.parallel.layout import from_layout
+            u, v = from_layout(u, self.layout), from_layout(v, self.layout)
+        return (u[:self.V], v[:self.V])
