@@ -89,6 +89,13 @@ def main():
         yield ("fused-dense4096-pl", B,
                dict(neg_sharing=G, hot_rows=4096, densehot=True,
                     hot_pallas=True), "fused")
+        # exact per-center NEGATIVE semantics at full tile shapes: P=G pools
+        # per tile (cbow_slab.pool_mask; proven == per-center draws) — the
+        # throughput answer for "exact semantics costs 10x" (VERDICT r1 #8)
+        yield ("fused-poolG", B, dict(neg_sharing=G, neg_pool=G), "fused")
+        yield ("fused-poolG-dense4096", B,
+               dict(neg_sharing=G, neg_pool=G, hot_rows=4096, densehot=True),
+               "fused")
         Bp = 2048
         yield "percenter", Bp, dict(neg_sharing=0), "slab"
         for M in (1024, 2048):
