@@ -96,6 +96,14 @@ def main():
         yield ("fused-poolG-dense4096", B,
                dict(neg_sharing=G, neg_pool=G, hot_rows=4096, densehot=True),
                "fused")
+        # banded windowed sums: context + u sums as banded MXU matmuls
+        # (ops/windowed.py) vs the 2W-shift VPU formulation
+        for bt in (128, 256):
+            yield (f"fused-banded{bt}", B,
+                   dict(neg_sharing=G, banded=bt), "fused")
+        yield ("fused-dense4096-banded128", B,
+               dict(neg_sharing=G, hot_rows=4096, densehot=True, banded=128),
+               "fused")
         Bp = 2048
         yield "percenter", Bp, dict(neg_sharing=0), "slab"
         for M in (1024, 2048):

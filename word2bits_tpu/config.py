@@ -112,6 +112,13 @@ class Word2BitsConfig:
     # one-hot kernel (kernels/hot_pallas.py): one-hot tiles generated in
     # VMEM instead of a [N, H] HBM operand.  Requires -hot-rows.
     hot_pallas: bool = False
+    # Banded windowed sums (0 = off): compute the step's two windowed
+    # reductions (context sums and per-position u sums) as banded-block MXU
+    # matmuls with this tile size instead of 2W shifted VPU adds
+    # (ops/windowed.py).  Same sums, different float order; CBOW slab/fused
+    # single-chip paths.  Measured against the shift formulation by
+    # tools/step_bench.py before flipping any default.
+    banded_tile: int = 0
     # Multi-chip dense-hot balance (-mesh-shape + -neg-dense-hot): place the
     # hot head interleaved across the vocab shards (parallel/layout.py) so
     # each shard runs its OWN [., H/nv] dense sub-range instead of every
@@ -214,6 +221,16 @@ class Word2BitsConfig:
             raise ValueError("use_pallas is implemented for the cbow model")
         if self.hot_rows < 0:
             raise ValueError(f"hot_rows must be >= 0, got {self.hot_rows}")
+        if self.banded_tile < 0:
+            raise ValueError(
+                f"banded_tile must be >= 0, got {self.banded_tile}")
+        if self.banded_tile:
+            if self.model != "cbow":
+                raise ValueError("banded_tile is implemented for the CBOW "
+                                 "slab/fused paths")
+            if self.mesh_shape:
+                raise ValueError("banded_tile is single-chip only (the "
+                                 "sharded bodies keep the shift formulation)")
         if self.hot_pallas and not self.hot_rows:
             raise ValueError("hot_pallas requires -hot-rows H")
         if self.hot_pallas and self.mesh_shape:
@@ -331,6 +348,7 @@ REFERENCE_FLAGS = {
         (kv.split("=") for kv in s.split(",") if kv.strip())}),
     "-hot-pallas": ("hot_pallas", lambda s: bool(int(s))),
     "-hot-interleave": ("hot_interleave", lambda s: bool(int(s))),
+    "-banded-tile": ("banded_tile", int),
     "-neg-stratify": ("neg_stratify", lambda s: bool(int(s))),
     "-neg-dense-hot": ("neg_dense_hot", lambda s: bool(int(s))),
     "-profile-dir": ("profile_dir", str),

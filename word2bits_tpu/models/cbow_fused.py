@@ -49,7 +49,7 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                     use_pallas: bool = False, dedup_block: int = 0,
                     neg_pool: int = 1, hot_rows: int = 0, cold_pos=None,
                     strat_lanes=None, dense_hot=None,
-                    hot_pallas: bool = False):
+                    hot_pallas: bool = False, banded: int = 0):
     """One synchronous step on the fused (V, 2D) table. Shared negatives
     required (the fused layout exists for the optimized path).
     use_pallas routes the negative score/gradient phase through the fused
@@ -82,15 +82,23 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     v_c = slab_rows[W:W + B, D:]                           # centers' v rows
     q_slab = quantize(u_slab, bl)
 
-    offsets, mask, valid = _context_masks(inputs, B, W)
-    mf = mask.astype(dt)
-    csum = jnp.zeros((B, D), dt)
-    sq_sum = jnp.zeros((B,), dt)
     q_sq = jnp.sum(q_slab * q_slab, axis=-1)
-    for oi, o in enumerate(offsets):
-        csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
-        sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
-    cw = jnp.sum(mf, axis=1)
+    if banded:
+        from word2bits_tpu.ops.windowed import (banded_context,
+                                                build_banded_masks, pick_tile)
+        btile = pick_tile(B, W, banded)
+        Mb, win_idx, valid = build_banded_masks(
+            inputs.slab_sents, inputs.shrink, B, W, btile)
+        csum, sq_sum, cw = banded_context(q_slab, q_sq, Mb, win_idx, B)
+    else:
+        offsets, mask, valid = _context_masks(inputs, B, W)
+        mf = mask.astype(dt)
+        csum = jnp.zeros((B, D), dt)
+        sq_sum = jnp.zeros((B,), dt)
+        for oi, o in enumerate(offsets):
+            csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
+            sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
+        cw = jnp.sum(mf, axis=1)
     active = valid & (cw > 0)
     af = active.astype(dt)
     cavg = csum / jnp.maximum(cw, 1.0)[:, None]
@@ -184,14 +192,19 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         dv_hot = dv_hot - two_ar * v_h * jnp.sum(mh, axis=0)[:, None]
 
     # u updates grouped by position (windowed sums)
-    mc = mf * af[:, None]
-    shifted = jnp.stack(
-        [jnp.pad(mc[:, oi, None] * cavge, ((W + o, W - o), (0, 0)))
-         for oi, o in enumerate(offsets)])
-    du_slab = jnp.sum(shifted, axis=0)
-    cnt = jnp.sum(jnp.stack(
-        [jnp.pad(mc[:, oi], (W + o, W - o)) for oi, o in enumerate(offsets)]),
-        axis=0)
+    if banded:
+        from word2bits_tpu.ops.windowed import banded_usum
+        M_af = Mb * af.reshape(Mb.shape[0], Mb.shape[1])[:, :, None]
+        du_slab, cnt = banded_usum(M_af, cavge, B, W)
+    else:
+        mc = mf * af[:, None]
+        shifted = jnp.stack(
+            [jnp.pad(mc[:, oi, None] * cavge, ((W + o, W - o), (0, 0)))
+             for oi, o in enumerate(offsets)])
+        du_slab = jnp.sum(shifted, axis=0)
+        cnt = jnp.sum(jnp.stack(
+            [jnp.pad(mc[:, oi], (W + o, W - o))
+             for oi, o in enumerate(offsets)]), axis=0)
     du_slab = du_slab - two_ar * u_slab * cnt[:, None]
 
     # ONE fused scatter for u-positions + center v-rows ...
@@ -290,7 +303,8 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                            donate: bool = True, use_pallas: bool = False,
                            dedup_block: int = 0, neg_pool: int = 1,
                            hot_rows: int = 0, strat_lanes=None,
-                           dense_hot=None, hot_pallas: bool = False):
+                           dense_hot=None, hot_pallas: bool = False,
+                           banded: int = 0):
     """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key
     [, cold_pos]) -> (table, loss_sum); table is the fused (V, 2D) array.
 
@@ -350,7 +364,7 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                                strat_lanes=strat_lanes,
                                dense_hot=(None if dense_hot is None else
                                           (dense_hot[1], dense_hot[2])),
-                               hot_pallas=hot_pallas)
+                               hot_pallas=hot_pallas, banded=banded)
 
     if steps == 1:
         # No-scan capacity path: lax.scan double-buffers the carried table

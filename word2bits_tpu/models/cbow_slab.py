@@ -129,7 +129,7 @@ def _context_masks(inputs: SlabInputs, B: int, W: int):
 def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
               batch_size: int, neg_sharing: int = 0,
               use_pallas: bool = False, hot_rows: int = 0,
-              dedup_block: int = 0, neg_pool: int = 1):
+              dedup_block: int = 0, neg_pool: int = 1, banded: int = 0):
     """One synchronous step over B consecutive centers. Returns (u, v, loss).
 
     use_pallas=True routes the shared-negative phase through the fused
@@ -139,6 +139,9 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     ops.scatter.scatter_add_dedup (MXU duplicate-combining + unique-index
     scatter) — the lever against XLA's serialized duplicate-row loop,
     biggest in per-center mode where B*(K+1) update rows are duplicate-heavy.
+    banded>0 computes the two windowed reductions (context sums, per-position
+    u sums) as banded-block MXU matmuls with tile size `banded` instead of
+    2W shifted VPU adds (ops/windowed.py); same sums, different float order.
     """
     B, W, K, D = batch_size, hyper.window, hyper.negative, u.shape[1]
     bl, reg = hyper.bitlevel, hyper.reg
@@ -164,17 +167,24 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     u_slab = u[slab_ids].astype(dt)                        # [B+2W, D]
     q_slab = quantize(u_slab, bl)
 
-    offsets, mask, valid = _context_masks(inputs, B, W)
-    mf = mask.astype(dt)                                   # [B, 2W]
-
-    # context sums via shifted slices of the quantized slab
-    csum = jnp.zeros((B, D), dt)
-    sq_sum = jnp.zeros((B,), dt)  # sum over ctx of ||q||^2 for reg loss
     q_sq = jnp.sum(q_slab * q_slab, axis=-1)               # [B+2W]
-    for oi, o in enumerate(offsets):
-        csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
-        sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
-    cw = jnp.sum(mf, axis=1)
+    if banded:
+        from word2bits_tpu.ops.windowed import (banded_context,
+                                                build_banded_masks, pick_tile)
+        tile = pick_tile(B, W, banded)
+        Mb, win_idx, valid = build_banded_masks(
+            inputs.slab_sents, inputs.shrink, B, W, tile)
+        csum, sq_sum, cw = banded_context(q_slab, q_sq, Mb, win_idx, B)
+    else:
+        offsets, mask, valid = _context_masks(inputs, B, W)
+        mf = mask.astype(dt)                               # [B, 2W]
+        # context sums via shifted slices of the quantized slab
+        csum = jnp.zeros((B, D), dt)
+        sq_sum = jnp.zeros((B,), dt)  # sum over ctx ||q||^2 for reg loss
+        for oi, o in enumerate(offsets):
+            csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
+            sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
+        cw = jnp.sum(mf, axis=1)
     active = valid & (cw > 0)
     af = active.astype(dt)
     cavg = csum / jnp.maximum(cw, 1.0)[:, None]            # [B, D]
@@ -265,16 +275,22 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                  jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]))
 
     # --- u updates grouped by slab position (one scatter of B+2W rows).
-    # Stacked zero-pads + one sum instead of a 2W-long dynamic-update-slice
-    # chain: identical result, dramatically cheaper to compile.
-    mc = mf * af[:, None]                                  # effective mask
-    shifted = jnp.stack(
-        [jnp.pad(mc[:, oi, None] * cavge, ((W + o, W - o), (0, 0)))
-         for oi, o in enumerate(offsets)])                 # [2W, B+2W, D]
-    du_slab = jnp.sum(shifted, axis=0)
-    cnt = jnp.sum(jnp.stack(
-        [jnp.pad(mc[:, oi], (W + o, W - o)) for oi, o in enumerate(offsets)]),
-        axis=0)                                            # [B+2W]
+    if banded:
+        from word2bits_tpu.ops.windowed import banded_usum
+        M_af = Mb * af.reshape(Mb.shape[0], Mb.shape[1])[:, :, None]
+        du_slab, cnt = banded_usum(M_af, cavge, B, W)
+    else:
+        # Stacked zero-pads + one sum instead of a 2W-long
+        # dynamic-update-slice chain: identical result, dramatically
+        # cheaper to compile.
+        mc = mf * af[:, None]                              # effective mask
+        shifted = jnp.stack(
+            [jnp.pad(mc[:, oi, None] * cavge, ((W + o, W - o), (0, 0)))
+             for oi, o in enumerate(offsets)])             # [2W, B+2W, D]
+        du_slab = jnp.sum(shifted, axis=0)
+        cnt = jnp.sum(jnp.stack(
+            [jnp.pad(mc[:, oi], (W + o, W - o))
+             for oi, o in enumerate(offsets)]), axis=0)    # [B+2W]
     du_slab = du_slab - two_ar * u_slab * cnt[:, None]
     u = scat(u, slab_ids, du_slab)
 
@@ -285,7 +301,7 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                           steps: int, neg_sharing: int = 0,
                           donate: bool = True, use_pallas: bool = False,
                           hot_rows: int = 0, dedup_block: int = 0,
-                          neg_pool: int = 1):
+                          neg_pool: int = 1, banded: int = 0):
     """Drop-in replacement for make_train_chunk using the slab formulation.
     Same signature: chunk(u, v, tokens, sent_ids, alias_prob, alias_alias,
     scalars, key) -> (u, v, loss_sum)."""
@@ -310,7 +326,7 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                             shrink=shrink, neg_ids=negs)
         return slab_step(u, v, inputs, alpha, hyper, B, neg_sharing,
                          use_pallas=use_pallas, hot_rows=hot_rows,
-                         dedup_block=dedup_block, neg_pool=P)
+                         dedup_block=dedup_block, neg_pool=P, banded=banded)
 
     if steps == 1:
         # No-scan capacity path (see models/cbow_fused.py): donation aliases

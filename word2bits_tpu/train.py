@@ -142,7 +142,8 @@ def train(cfg: Word2BitsConfig,
                                           hot_rows=cfg.hot_rows,
                                           strat_lanes=strat_lanes,
                                           dense_hot=dense_hot,
-                                          hot_pallas=cfg.hot_pallas)
+                                          hot_pallas=cfg.hot_pallas,
+                                          banded=cfg.banded_tile)
         # -hot-rows: the per-segment cold-row compaction map, updated by the
         # segment loop below (an explicit jit arg; the holder just threads it
         # through this fixed chunk_fn signature)
@@ -171,7 +172,8 @@ def train(cfg: Word2BitsConfig,
                                          neg_sharing=cfg.neg_sharing,
                                          use_pallas=cfg.use_pallas,
                                          dedup_block=cfg.dedup_block,
-                                         neg_pool=cfg.neg_pool)
+                                         neg_pool=cfg.neg_pool,
+                                         banded=cfg.banded_tile)
 
     fused_mode = bool(sharded is None and cfg.fused_tables
                       and cfg.neg_sharing and cfg.model == "cbow")
