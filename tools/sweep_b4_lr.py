@@ -1,0 +1,51 @@
+"""LR sweep at bitlevel 4 (structured corpus, per-center mode).
+
+The auto-LR rule (config.py lr_scale) was measured at bitlevels 0-2; the
+round-2 parity table shows bitlevel 4 landing just below the reference at
+factor 1.0 (53.9 vs 55.2).  This sweep measures factors 1.5/2/3 so the rule
+can be extended with data rather than guessed.  Reference quantization branch
+under test: round |x| to nearest 1/2^(bitlevel-1), clip to 1
+(/root/reference/src/word2bits.cpp:100-105).
+
+Usage: python tools/sweep_b4_lr.py [factors...]
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.accuracy_parity import HYPER, ensure_corpus, evaluate  # noqa: E402
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from word2bits_tpu.config import Word2BitsConfig
+    from word2bits_tpu.train import train
+
+    factors = [float(a) for a in sys.argv[1:]] or [1.5, 2.0, 3.0]
+    corpus, questions = ensure_corpus(fast=False)
+    for fac in factors:
+        accs = []
+        for s in range(3):
+            out = f"/tmp/sweep_b4_{fac}_{s}.bin"
+            cfg = Word2BitsConfig(
+                train_file=corpus, output_file=out, binary=True,
+                bitlevel=4, size=HYPER["size"], window=HYPER["window"],
+                negative=HYPER["negative"], iter=HYPER["iters"],
+                min_count=HYPER["min_count"], sample=HYPER["sample"],
+                alpha=HYPER["alpha"] * fac, auto_lr=False,
+                batch_size=512, steps_per_chunk=64,
+                neg_sharing=0, debug=1, seed=s + 1)
+            train(cfg)
+            acc, _ = evaluate(out, questions)
+            accs.append(acc)
+        print(json.dumps(dict(factor=fac, accs=accs,
+                              mean=sum(accs) / len(accs))), flush=True)
+
+
+if __name__ == "__main__":
+    main()
