@@ -108,12 +108,83 @@ def accuracy_main(argv=None) -> int:
     return 0
 
 
+def convert_main(argv=None) -> int:
+    """Post-training vector-file converter (extension).
+
+    Usage: convert IN OUT [-bitlevel B] [-binary 0|1] [-packed 1]
+                          [-threshold N]
+
+    Reads any format this stack produces or the reference catalog ships
+    (text / binary / gzip'd text, sniffed like read_vectors; our bit-packed
+    .pack via magic), optionally RE-quantizes rows at -bitlevel exactly as
+    the reference evaluator does at load (reference
+    src/compute-accuracy.c:106), and writes text (-binary 0, default),
+    binary (-binary 1), or actually-bit-packed (-packed 1, grids of
+    bitlevel 1/2 only) — materializing the reference README's 8-16x
+    storage-compression claim (reference README.md:3-5) as files instead of
+    gzip.  -threshold truncates to the top-N (count-sorted) rows like the
+    evaluator's threshold argument (src/compute-accuracy.c:86).
+    Host-only: never touches a device backend.
+    """
+    argv = sys.argv[1:] if argv is None else argv
+    pos, flags = [], {}
+    i = 0
+    while i < len(argv):
+        if argv[i].startswith("-") and not argv[i][1:].isdigit():
+            flags[argv[i]] = argv[i + 1]
+            i += 2
+        else:
+            pos.append(argv[i])
+            i += 1
+    if len(pos) != 2:
+        print("Usage: convert IN OUT [-bitlevel B] [-binary 0|1] "
+              "[-packed 1] [-threshold N]")
+        return 0 if not pos else 1
+    src, dst = pos
+    bitlevel = int(flags.get("-bitlevel", 0))
+    binary = bool(int(flags.get("-binary", 0)))
+    packed = bool(int(flags.get("-packed", 0)))
+    threshold = int(flags.get("-threshold", 0))
+
+    from word2bits_tpu.io.packed import MAGIC, read_packed, write_packed
+    from word2bits_tpu.io.vectors import read_vectors, write_vectors
+    from word2bits_tpu.ops.quantize import quantize_np
+
+    with open(src, "rb") as f:
+        is_packed = f.read(len(MAGIC)) == MAGIC
+    if is_packed:
+        words, vectors, src_bitlevel = read_packed(src)
+    else:
+        words, vectors = read_vectors(src)
+        src_bitlevel = 0
+    if threshold:
+        words, vectors = words[:threshold], vectors[:threshold]
+    if bitlevel:
+        vectors = quantize_np(vectors, bitlevel)
+    out_bitlevel = bitlevel or src_bitlevel
+    if packed:
+        if out_bitlevel not in (1, 2):
+            print(f"-packed needs vectors on a 1- or 2-bit grid; pass "
+                  f"-bitlevel 1|2 (got bitlevel {out_bitlevel})",
+                  file=sys.stderr)
+            return 1
+        write_packed(dst, words, vectors, out_bitlevel)
+    else:
+        write_vectors(dst, words, vectors, binary=binary)
+    import os as _os
+    print(f"{len(words)} x {vectors.shape[1]} -> {dst} "
+          f"({_os.path.getsize(dst)} bytes)")
+    return 0
+
+
 def main() -> int:
     args = sys.argv[1:]
     if args and args[0] == "train":
         return train_main(args[1:])
     if args and args[0] in ("accuracy", "compute-accuracy"):
         return accuracy_main(args[1:])
+    if args and args[0] == "convert":
+        return convert_main(args[1:])
     # bare invocation with reference flags -> trainer
     return train_main(args)
 

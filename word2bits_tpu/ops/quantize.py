@@ -64,6 +64,36 @@ def quantize(x: jax.Array, bitlevel: int) -> jax.Array:
     return sign * (casted / jnp.asarray(seg, x.dtype))
 
 
+def quantize_np(x, bitlevel: int):
+    """Pure-numpy twin of quantize() (same reference semantics,
+    src/word2bits.cpp:73-108) for host-side tools that must not touch a
+    device backend (e.g. the CLI `convert` file utility).  Tested equal to
+    the JAX op on the full branch set."""
+    import numpy as np
+
+    if not isinstance(bitlevel, int):
+        raise TypeError(
+            f"bitlevel must be a static Python int, got {type(bitlevel).__name__}"
+        )
+    if bitlevel < 0:
+        raise ValueError(f"bitlevel must be >= 0, got {bitlevel}")
+    x = np.asarray(x)
+    if bitlevel == 0:
+        return x
+    sign = np.where(x < 0, x.dtype.type(-1.0), x.dtype.type(1.0))
+    mag = np.abs(x)
+    if bitlevel == 1:
+        return sign * (x.dtype.type(1.0) / x.dtype.type(3.0))
+    if bitlevel == 2:
+        return sign * np.where(mag <= 0.5, x.dtype.type(0.25),
+                               x.dtype.type(0.75))
+    if bitlevel == 3:
+        return x * x.dtype.type(0.0)
+    seg = float(2 ** (bitlevel - 1))
+    casted = np.minimum(np.floor(mag * seg + 0.5), seg)
+    return (sign * (casted / x.dtype.type(seg))).astype(x.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def quantize_ste(x: jax.Array, bitlevel: int) -> jax.Array:
     """quantize() with a straight-through-estimator gradient (identity VJP)."""
