@@ -57,6 +57,20 @@ def test_neg_sharing_validation():
     Word2BitsConfig(batch_size=128, neg_sharing=64)
 
 
+def test_auto_batch_size():
+    """batch_size=0 resolves by bitlevel: fine grids (>= 4) are sensitive to
+    within-batch staleness (measured: B=512 53.9 vs B=256 55.1 at bitlevel 4,
+    tools/sweep_b4_lr.py); coarse grids keep the throughput default."""
+    assert Word2BitsConfig().batch_size == 1024
+    assert Word2BitsConfig(bitlevel=2).batch_size == 1024
+    assert Word2BitsConfig(bitlevel=4).batch_size == 256
+    assert Word2BitsConfig(bitlevel=8).batch_size == 256
+    # explicit value always wins
+    assert Word2BitsConfig(bitlevel=4, batch_size=512).batch_size == 512
+    with pytest.raises(ValueError):
+        Word2BitsConfig(batch_size=-1)
+
+
 def test_auto_lr_scaling():
     """Batch-aware LR rule (docs/acceptance_notes.md measured sweep): the
     synchronous-minibatch optimum at bitlevel 2 is ~3x the reference's

@@ -64,12 +64,16 @@ def run_ours(corpus, out, bitlevel, iters, neg_sharing, seed=1,
     from word2bits_tpu.config import Word2BitsConfig
     from word2bits_tpu.train import train
 
+    # bitlevel >= 4 uses the config's auto batch (256): fine grids are
+    # staleness-sensitive — measured B=512 53.9 vs B=256 55.1 at bitlevel 4
+    # (tools/sweep_b4_lr.py); bitlevels 0-2 keep the table's historical 512.
     cfg = Word2BitsConfig(
         train_file=corpus, output_file=out, binary=True,
         bitlevel=bitlevel, size=HYPER["size"], window=HYPER["window"],
         negative=HYPER["negative"], iter=iters,
         min_count=HYPER["min_count"], sample=HYPER["sample"],
-        alpha=HYPER["alpha"], batch_size=512, steps_per_chunk=64,
+        alpha=HYPER["alpha"], batch_size=0 if bitlevel >= 4 else 512,
+        steps_per_chunk=64,
         neg_sharing=neg_sharing, neg_pool=neg_pool, debug=1, seed=seed,
         model=model, **extra)
     t0 = time.perf_counter()

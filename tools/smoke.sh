@@ -56,6 +56,11 @@ if command -v gcc >/dev/null && [ -f /root/reference/src/compute-accuracy.c ]; t
   ./ref-accuracy cbow.bin 0 0 < q.txt | tail -3
 fi
 
+echo "== convert: requantize + bit-pack an existing vector file =="
+python -m word2bits_tpu.cli convert sg.bin sg.pack -bitlevel 1 -packed 1
+python -m word2bits_tpu.cli convert sg.pack sg_round.bin -binary 1
+python -m word2bits_tpu.cli accuracy sg_round.bin 0 0 -questions q.txt | tail -2
+
 echo "== packed storage round-trip =="
 python - <<'EOF'
 from word2bits_tpu.io.packed import read_packed

@@ -40,7 +40,9 @@ def train_main(argv=None) -> int:
               "  -output -bitlevel -size -window -negative -alpha -sample\n"
               "  -min-count -iter -reg -binary -debug -save-every-epoch\n"
               "  -save-vocab -read-vocab -classes -threads\n"
-              "Extensions: -batch-size -seed")
+              "Extensions: -batch-size -seed\n"
+              "Subcommands: train (default) | accuracy FILE [bitlevel "
+              "threshold] | convert IN OUT | nearest FILE [words...]")
         return 0
     from word2bits_tpu.train import prepare, train
 
@@ -177,6 +179,78 @@ def convert_main(argv=None) -> int:
     return 0
 
 
+def nearest_main(argv=None) -> int:
+    """Nearest-neighbor queries (extension; the original word2vec ships an
+    equivalent `distance` tool — the Word2Bits reference dropped it, keeping
+    only the analogy evaluator).
+
+    Usage: nearest FILE [words...] [-topk N] [-bitlevel B]
+
+    Prints the top-N cosine neighbors per query word; with no words, reads
+    queries from stdin (one per line, EXIT quits).  -bitlevel requantizes at
+    load exactly like the evaluator (reference src/compute-accuracy.c:106).
+    Host-only numpy (one V-dot matvec per query).
+    """
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("Usage: nearest FILE [words...] [-topk N] [-bitlevel B]")
+        return 0
+    topk, bitlevel = 10, 0
+    if "-topk" in argv:
+        i = argv.index("-topk")
+        topk = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if "-bitlevel" in argv:
+        i = argv.index("-bitlevel")
+        bitlevel = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    path, queries = argv[0], argv[1:]
+
+    import numpy as np
+
+    from word2bits_tpu.io.packed import MAGIC, read_packed
+    from word2bits_tpu.io.vectors import read_vectors
+    from word2bits_tpu.ops.quantize import quantize_np
+
+    with open(path, "rb") as f:
+        is_packed = f.read(len(MAGIC)) == MAGIC
+    if is_packed:
+        words, vectors, _ = read_packed(path)
+    else:
+        words, vectors = read_vectors(path)
+    if bitlevel:
+        vectors = quantize_np(vectors, bitlevel)
+    norms = np.linalg.norm(vectors, axis=1)
+    m = vectors / np.maximum(norms, 1e-12)[:, None]
+    # evaluator-style uppercase lookup (reference src/compute-accuracy.c:104)
+    index = {}
+    for i, w in enumerate(words):
+        index.setdefault(w.upper(), i)
+
+    def show(q: str) -> None:
+        i = index.get(q.upper())
+        if i is None:
+            print(f"{q}: not in vocabulary")
+            return
+        sims = m @ m[i]
+        sims[i] = -np.inf
+        top = np.argsort(-sims)[:topk]
+        print(f"{q}:")
+        for j in top:
+            print(f"  {words[j]:<24s} {sims[j]:.6f}")
+
+    if queries:
+        for q in queries:
+            show(q)
+        return 0
+    for line in sys.stdin:
+        q = line.strip()
+        if not q or q == "EXIT":
+            break
+        show(q)
+    return 0
+
+
 def main() -> int:
     args = sys.argv[1:]
     if args and args[0] == "train":
@@ -185,6 +259,8 @@ def main() -> int:
         return accuracy_main(args[1:])
     if args and args[0] == "convert":
         return convert_main(args[1:])
+    if args and args[0] in ("nearest", "distance"):
+        return nearest_main(args[1:])
     # bare invocation with reference flags -> trainer
     return train_main(args)
 

@@ -50,7 +50,14 @@ class Word2BitsConfig:
 
     # --- TPU execution (replaces reference -threads semantics) ---
     threads: int = 12          # accepted for CLI compat; not a parallelism knob
-    batch_size: int = 1024     # centers per synchronous step
+    # Centers per synchronous step.  0 = auto: 1024, except 256 at
+    # bitlevel >= 4 — fine quantization grids are sensitive to within-batch
+    # parameter staleness (the reference's Hogwild updates are per-word).
+    # Measured at bitlevel 4 on the structured parity corpus
+    # (tools/sweep_b4_lr.py, 3 seeds): B=512 -> 53.9, B=256 -> 55.1 vs
+    # reference 55.2±0.6, while LR rescaling moves the WRONG way (0.5x 49.0,
+    # 1.5x 47.1 — unlike bitlevel 2, whose clamped grid wants auto_lr's 3x).
+    batch_size: int = 0
     steps_per_chunk: int = 256 # steps fused into one jitted scan call
     # Negative-sample sharing tile: 0 = per-center draws (exact reference
     # semantics); G > 0 shares each tile of G centers' negatives, turning the
@@ -173,6 +180,10 @@ class Word2BitsConfig:
     mesh_shape: Optional[dict] = None  # e.g. {"data": 2, "vocab": 4}; None = single chip
 
     def __post_init__(self):
+        if self.batch_size == 0:
+            # auto batch: see the field docs (staleness at fine grids)
+            object.__setattr__(
+                self, "batch_size", 256 if self.bitlevel >= 4 else 1024)
         if self.bitlevel == 3:
             # The reference's quantize() has a hole at bitlevel 3: every input
             # maps to 0.0 (verified; reference src/word2bits.cpp:73-108 falls
