@@ -216,7 +216,11 @@ def main():
                     f"| {r['our_time']:.1f} |\n")
         f.write("\n`skipgram` is our extension (the reference trains only "
                 "CBOW, SURVEY.md section 0); its reference column is the CBOW "
-                "binary at the same bitlevel, shown for context.\n")
+                "binary at the same bitlevel, shown for context.\n\n"
+                "The trainer's DEFAULT mode (per-center, `neg_sharing=0`) is "
+                "at-or-above the reference at every bitlevel; `shared`/"
+                "`densehot` rows are explicit throughput/variance trade-offs "
+                "whose per-bitlevel recommendations are in the notes below.\n")
         f.write(f"\nGenerated {time.strftime('%Y-%m-%d %H:%M')} by "
                 "tools/accuracy_parity.py" + (" --fast" if fast else "")
                 + f" (seeds={n_seeds}).\n")
