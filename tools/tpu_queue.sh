@@ -26,4 +26,7 @@ run capacity_3.7M 1200 python tools/capacity_probe.py 3700000 800 16384
 run capacity_3.7M_dense 1200 python tools/capacity_probe.py 3700000 800 16384 --dense 4096
 # 4. the round's headline: bench.py (self-supervising, retries internally)
 run bench 3600 python bench.py
+# 5. end-to-end CLI smoke ON THE DEVICE (each leg pays the per-process
+#    first-dispatch cost; budget generously)
+run smoke_tpu 2400 bash tools/smoke.sh
 echo "$(date +%H:%M:%S) QUEUE DONE" >> "$OUT/queue.log"
