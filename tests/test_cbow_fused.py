@@ -14,7 +14,8 @@ from word2bits_tpu.models.cbow_slab import slab_step
 from tests.test_cbow_slab import _setup
 
 
-@pytest.mark.parametrize("bitlevel,reg", [(1, 0.0), (0, 0.01), (2, 0.005)])
+@pytest.mark.parametrize("bitlevel,reg", [(1, 0.0), (0, 0.01), (2, 0.005),
+                                          (4, 0.001)])
 def test_fused_equals_split(bitlevel, reg):
     B, W, K, G = 32, 3, 4, 8
     u, v, inputs = _setup(B=B, W=W, K=K)

@@ -45,7 +45,8 @@ def _equivalent_batch(inputs: SlabInputs, B, W):
                  ctx_mask=mask, neg_ids=inputs.neg_ids, valid=valid)
 
 
-@pytest.mark.parametrize("bitlevel,reg", [(1, 0.0), (0, 0.01), (2, 0.001)])
+@pytest.mark.parametrize("bitlevel,reg", [(1, 0.0), (0, 0.01), (2, 0.001),
+                                          (4, 0.001)])
 def test_slab_equals_reference_shaped(bitlevel, reg):
     B, W, K = 32, 3, 4
     u, v, inputs = _setup(B=B, W=W, K=K)
