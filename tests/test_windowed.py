@@ -186,3 +186,57 @@ def test_banded_fused_chunk_equals_shift():
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), atol=3e-5)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), atol=3e-5)
     np.testing.assert_allclose(float(l2), float(l1), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mesh_shape,shared", [
+    ({"data": 2, "vocab": 4}, 8),
+    ({"data": 4, "vocab": 2}, 8),
+    ({"data": 2, "vocab": 4}, 0),
+])
+def test_banded_sharded_chunk_equals_single(mesh_shape, shared):
+    """Sharded chunk with banded windowed sums == single-chip shift chunk
+    (same key => same negatives/shrinks; banded only reorders float sums).
+    Banded tiles are per-shard: B_local = B / data."""
+    from word2bits_tpu.parallel.chunk import make_sharded_chunk
+    from word2bits_tpu.parallel.mesh import make_mesh
+    from word2bits_tpu.parallel.sharded import pad_vocab_rows, shard_params
+    from word2bits_tpu.parallel.sharded_slab import _sharded_slab_body
+    from word2bits_tpu.sampling.unigram import build_alias_table
+
+    S, B, W, K, V, D = 3, 32, 3, 4, 45, 16
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.01)
+    rng = np.random.default_rng(0)
+    u = rng.uniform(-0.5, 0.5, (V, D)).astype(np.float32)
+    v = rng.uniform(-0.5, 0.5, (V, D)).astype(np.float32)
+    n = W + S * B + W
+    toks = rng.integers(1, V, n).astype(np.int32)
+    sents = np.sort(rng.integers(0, 6, n)).astype(np.int32)
+    toks[:2] = -1
+    sents[:2] = -1
+    table = build_alias_table(rng.integers(1, 50, V).astype(np.float64) ** 0.75)
+    scalars = ChunkScalars(base0=jnp.int32(W), alpha0=jnp.float32(0.05),
+                           wca_start=jnp.float32(0.0),
+                           wca_per_step=jnp.float32(250.0),
+                           denom=jnp.float32(1e5))
+    key = jax.random.PRNGKey(7)
+
+    single = make_slab_train_chunk(hyper, V, B, S, neg_sharing=shared,
+                                   donate=False)
+    u1, v1, loss1 = single(jnp.asarray(u), jnp.asarray(v), jnp.asarray(toks),
+                           jnp.asarray(sents), table.prob, table.alias,
+                           scalars, key)
+
+    mesh = make_mesh(mesh_shape)
+    nv = mesh_shape["vocab"]
+    up, vp = pad_vocab_rows(u, nv), pad_vocab_rows(v, nv)
+    chunk = make_sharded_chunk(_sharded_slab_body, hyper, mesh, up.shape[0],
+                               V, B, S, neg_sharing=shared, donate=False,
+                               banded=8)
+    ud, vd = shard_params(jnp.asarray(up), jnp.asarray(vp), mesh)
+    u2, v2, loss2 = chunk(ud, vd, jnp.asarray(toks), jnp.asarray(sents),
+                          table.prob, table.alias, scalars, key)
+
+    np.testing.assert_allclose(np.asarray(u2)[:V], np.asarray(u1), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(v2)[:V], np.asarray(v1), atol=3e-5)
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-4,
+                               atol=1e-4)

@@ -123,8 +123,9 @@ class Word2BitsConfig:
     # reductions (context sums and per-position u sums) as banded-block MXU
     # matmuls with this tile size instead of 2W shifted VPU adds
     # (ops/windowed.py).  Same sums, different float order; CBOW slab/fused
-    # single-chip paths.  Measured against the shift formulation by
-    # tools/step_bench.py before flipping any default.
+    # and sharded paths (per-shard tiles on the mesh).  Measured against
+    # the shift formulation by tools/step_bench.py before flipping any
+    # default.
     banded_tile: int = 0
     # Multi-chip dense-hot balance (-mesh-shape + -neg-dense-hot): place the
     # hot head interleaved across the vocab shards (parallel/layout.py) so
@@ -235,13 +236,9 @@ class Word2BitsConfig:
         if self.banded_tile < 0:
             raise ValueError(
                 f"banded_tile must be >= 0, got {self.banded_tile}")
-        if self.banded_tile:
-            if self.model != "cbow":
-                raise ValueError("banded_tile is implemented for the CBOW "
-                                 "slab/fused paths")
-            if self.mesh_shape:
-                raise ValueError("banded_tile is single-chip only (the "
-                                 "sharded bodies keep the shift formulation)")
+        if self.banded_tile and self.model != "cbow":
+            raise ValueError("banded_tile is implemented for the CBOW "
+                             "slab/fused/sharded paths")
         if self.hot_pallas and not self.hot_rows:
             raise ValueError("hot_pallas requires -hot-rows H")
         if self.hot_pallas and self.mesh_shape:

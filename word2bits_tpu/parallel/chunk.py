@@ -32,7 +32,8 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
                        vocab_size_padded: int, vocab_size: int,
                        batch_size: int, steps: int, neg_sharing: int = 0,
                        neg_pool: int = 1, donate: bool = True,
-                       dense_hot=None, hot_rows: int = 0, hot_layout=None):
+                       dense_hot=None, hot_rows: int = 0, hot_layout=None,
+                       banded: int = 0):
     """jit(shard_map) chunk running `steps` sharded minibatch steps.
 
     `body_fn` is one of the per-step sharded bodies
@@ -93,6 +94,9 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
             slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
             shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
             body_kw = {}
+            if banded:
+                # banded windowed sums (cbow slab body only; config gates it)
+                body_kw["banded"] = banded
             if dense_hot is not None:
                 from word2bits_tpu.sampling.unigram import _alias_draw
                 negs = hot_rows + _alias_draw(

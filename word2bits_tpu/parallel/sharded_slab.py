@@ -38,7 +38,8 @@ from word2bits_tpu.parallel.sharded import (
 def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
                        negs, alpha, hyper: CBOWHyper, B_global: int,
                        neg_sharing: int, vocab_shard_size: int,
-                       neg_pool: int = 1, dense_hot=None, hot_layout=None):
+                       neg_pool: int = 1, dense_hot=None, hot_layout=None,
+                       banded: int = 0):
     """Runs inside shard_map. Global inputs replicated; params vocab-sharded.
 
     dense_hot = (w_cold, hot_w[H]) enables exact hot-stratum negatives
@@ -110,15 +111,25 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     v_n = gat(v_local, my_negs).astype(dt)
     q_slab = quantize(u_slab, bl)
 
-    offsets, mask, valid = _context_masks(inputs, B, W)
-    mf = mask.astype(dt)
-    csum = jnp.zeros((B, D), dt)
-    sq_sum = jnp.zeros((B,), dt)
     q_sq = jnp.sum(q_slab * q_slab, axis=-1)
-    for oi, o in enumerate(offsets):
-        csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
-        sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
-    cw = jnp.sum(mf, axis=1)
+    if banded:
+        # banded-block MXU formulation of the two windowed reductions,
+        # same sums as the shift path (ops/windowed.py); per-shard B here
+        from word2bits_tpu.ops.windowed import (banded_context,
+                                                build_banded_masks, pick_tile)
+        btile = pick_tile(B, W, banded)
+        Mb, win_idx, valid = build_banded_masks(
+            my_sents, my_shrink, B, W, btile)
+        csum, sq_sum, cw = banded_context(q_slab, q_sq, Mb, win_idx, B)
+    else:
+        offsets, mask, valid = _context_masks(inputs, B, W)
+        mf = mask.astype(dt)
+        csum = jnp.zeros((B, D), dt)
+        sq_sum = jnp.zeros((B,), dt)
+        for oi, o in enumerate(offsets):
+            csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
+            sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
+        cw = jnp.sum(mf, axis=1)
     active = valid & (cw > 0)
     af = active.astype(dt)
     cavg = csum / jnp.maximum(cw, 1.0)[:, None]
@@ -227,14 +238,19 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
         dv_hot = dv_hot - two_ar * v_h * jnp.sum(mh, axis=0)[:, None]
 
     # u updates grouped by position
-    mc = mf * af[:, None]
-    shifted = jnp.stack(
-        [jnp.pad(mc[:, oi, None] * cavge, ((W + o, W - o), (0, 0)))
-         for oi, o in enumerate(offsets)])
-    du_slab = jnp.sum(shifted, axis=0)
-    cnt = jnp.sum(jnp.stack(
-        [jnp.pad(mc[:, oi], (W + o, W - o)) for oi, o in enumerate(offsets)]),
-        axis=0)
+    if banded:
+        from word2bits_tpu.ops.windowed import banded_usum
+        M_af = Mb * af.reshape(Mb.shape[0], Mb.shape[1])[:, :, None]
+        du_slab, cnt = banded_usum(M_af, cavge, B, W)
+    else:
+        mc = mf * af[:, None]
+        shifted = jnp.stack(
+            [jnp.pad(mc[:, oi, None] * cavge, ((W + o, W - o), (0, 0)))
+             for oi, o in enumerate(offsets)])
+        du_slab = jnp.sum(shifted, axis=0)
+        cnt = jnp.sum(jnp.stack(
+            [jnp.pad(mc[:, oi], (W + o, W - o))
+             for oi, o in enumerate(offsets)]), axis=0)
     du_slab = du_slab - two_ar * u_slab * cnt[:, None]
 
     # scatter into local shard deltas; sum over the data axis
@@ -257,7 +273,7 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
 def make_sharded_slab_step(hyper: CBOWHyper, mesh: Mesh,
                            vocab_size_padded: int, batch_size: int,
                            neg_sharing: int = 0, neg_pool: int = 1,
-                           dense_hot=None, hot_layout=None):
+                           dense_hot=None, hot_layout=None, banded: int = 0):
     """jit(shard_map) step: (u_loc, v_loc, slab_tokens, slab_sents, shrink,
     negs, alpha) -> (u_loc, v_loc, loss).  Inputs replicated, params
     vocab-sharded."""
@@ -280,7 +296,7 @@ def make_sharded_slab_step(hyper: CBOWHyper, mesh: Mesh,
         u_local, v_local, loss = _sharded_slab_body(
             u_local, v_local, slab_tokens, slab_sents, shrink, negs, alpha,
             hyper, batch_size, neg_sharing, vss, neg_pool=neg_pool,
-            dense_hot=dense_hot, hot_layout=hot_layout)
+            dense_hot=dense_hot, hot_layout=hot_layout, banded=banded)
         loss = lax.psum(loss, VOCAB_AXIS) / nv
         return u_local, v_local, loss
 

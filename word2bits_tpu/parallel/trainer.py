@@ -62,7 +62,7 @@ class ShardedTrainer:
             cfg.batch_size, cfg.steps_per_chunk,
             neg_sharing=cfg.neg_sharing, neg_pool=cfg.neg_pool,
             dense_hot=dense_hot, hot_rows=cfg.hot_rows,
-            hot_layout=self.layout)
+            hot_layout=self.layout, banded=cfg.banded_tile)
         if self.layout is not None:
             from word2bits_tpu.parallel.layout import to_layout
             up, vp = to_layout(up, self.layout), to_layout(vp, self.layout)
