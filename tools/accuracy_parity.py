@@ -149,16 +149,19 @@ def main():
             ref_cache[bitlevel] = (accs, cov, t_tot / n_seeds)
         return ref_cache[bitlevel]
 
-    # bitlevel 4 exercises the reference's >=4 rounding branch (round |x| to
-    # nearest 1/2^(bitlevel-1), clip to 1 — reference src/word2bits.cpp:100-105);
-    # a reduced mode set bounds runtime (per-center = exact semantics,
-    # densehot = the recommended quantized production path)
-    for bitlevel in (1, 0, 2, 4):
+    # bitlevels 4 and 8 exercise the reference's >=4 rounding branch (round
+    # |x| to nearest 1/2^(bitlevel-1), clip to 1 — reference
+    # src/word2bits.cpp:100-105); a reduced mode set bounds runtime
+    # (per-center = exact semantics, densehot = the recommended quantized
+    # production path; bitlevel 8 runs per-center only — one generalization
+    # check of the fine-grid auto-batch rule)
+    for bitlevel in (1, 0, 2, 4, 8):
         wanted = [m for m in MODES
                   if (bitlevel, m[0]) not in done
                   and (only is None or only == f"{bitlevel}:{m[0]}")
                   and not (m[2] == "skipgram" and bitlevel != 1)
-                  and not (bitlevel == 4 and m[0] == "shared-16")]
+                  and not (bitlevel == 4 and m[0] == "shared-16")
+                  and not (bitlevel == 8 and m[0] != "per-center")]
         if not wanted:
             continue
         ref_accs, ref_cov, ref_t = reference_accs(bitlevel)
