@@ -29,4 +29,5 @@ run bench 3600 python bench.py
 # 5. end-to-end CLI smoke ON THE DEVICE (each leg pays the per-process
 #    first-dispatch cost; budget generously)
 run smoke_tpu 2400 bash tools/smoke.sh
+python tools/tpu_summarize.py "$OUT" >> "$OUT/queue.log" 2>&1
 echo "$(date +%H:%M:%S) QUEUE DONE" >> "$OUT/queue.log"
