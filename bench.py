@@ -45,9 +45,11 @@ VOCAB = 70_000
 CFG = dict(bitlevel=1, size=200, window=8, negative=24, min_count=5,
            sample=1e-3, alpha=0.05, batch_size=8192, steps_per_chunk=16,
            neg_sharing=64, dtype="bfloat16",
-           # hot/cold scatter + negative-sampling variant (0/None = off);
-           # set from tools/step_bench.py measurements on the real chip
-           hot_rows=0, neg_mode="sample")  # "sample" | "dense_hot"
+           # hot/cold scatter + negative-sampling + windowed-sum variants
+           # (0/None = off); set from tools/step_bench.py measurements on
+           # the real chip
+           hot_rows=0, neg_mode="sample",  # "sample" | "dense_hot"
+           banded=0)
 BENCH_SECONDS = 20.0
 
 
@@ -155,7 +157,8 @@ def main():
         table = build_alias_table(weights)
     chunk_fn = make_fused_train_chunk(hyper, V, B, S,
                                       neg_sharing=CFG["neg_sharing"],
-                                      hot_rows=hot_rows, dense_hot=dense_hot)
+                                      hot_rows=hot_rows, dense_hot=dense_hot,
+                                      banded=int(CFG.get("banded") or 0))
 
     capacity = ((len(encoded) + S * B + 8 + 1023) // 1024) * 1024
     ep = build_epoch_arrays(encoded, counts, CFG["sample"], train_words, W,
