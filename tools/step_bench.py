@@ -68,8 +68,14 @@ def main():
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
 
     def variants():
+        # items: (name, B, chunk_kwargs, family[, steps_per_chunk])
         B, G = CFG["batch_size"], CFG["neg_sharing"]
         yield "fused", B, dict(neg_sharing=G), "fused"
+        # dispatch amortization: the axon tunnel's per-dispatch latency is
+        # ~10s of ms (CLAUDE.md); if it is a visible fraction of the chunk,
+        # larger S wins directly
+        for Sv in (64, 128):
+            yield f"fused-S{Sv}", B, dict(neg_sharing=G), "fused", Sv
         for M in (512, 1024, 2048):
             yield (f"fused-dedup{M}", B,
                    dict(neg_sharing=G, dedup_block=M), "fused")
@@ -111,15 +117,17 @@ def main():
                    dict(neg_sharing=0, dedup_block=M), "slab")
 
     results = {}
-    for name, B, kw, fam in variants():
+    for item in variants():
+        name, B, kw, fam = item[:4]
+        Sv = item[4] if len(item) > 4 else S
         if wanted and name not in wanted:
             continue
         words_per_step = B * train_words / n_centers
-        max_chunks = max(1, n_centers // (S * B))
+        max_chunks = max(1, n_centers // (Sv * B))
 
         def scalars(ci):
             return ChunkScalars(
-                base0=jnp.int32(ep.halo + (ci % max_chunks) * S * B),
+                base0=jnp.int32(ep.halo + (ci % max_chunks) * Sv * B),
                 alpha0=jnp.float32(CFG["alpha"]),
                 wca_start=jnp.float32(0.0),
                 wca_per_step=jnp.float32(words_per_step),
@@ -142,16 +150,16 @@ def main():
                     kw["dense_hot"] = st.dense_split(CFG["negative"])
                     ap, aa = st.cold.prob, st.cold.alias
             if fam == "fused":
-                fn = make_fused_train_chunk(hyper, V, B, S, **kw)
+                fn = make_fused_train_chunk(hyper, V, B, Sv, **kw)
                 params = (interleave(u0, v0),)
             else:
-                fn = make_slab_train_chunk(hyper, V, B, S, **kw)
+                fn = make_slab_train_chunk(hyper, V, B, Sv, **kw)
                 params = (u0, v0)
 
             extra = ()
             if kw.get("hot_rows"):
                 from word2bits_tpu.data.pipeline import cold_positions
-                n_rows = len(ep.tokens) // B + S + 2
+                n_rows = len(ep.tokens) // B + Sv + 2
                 extra = (jnp.asarray(cold_positions(
                     ep.tokens, B, W, n_rows, kw["hot_rows"])),)
 
@@ -177,8 +185,8 @@ def main():
                 if time.perf_counter() - t0 > SECONDS:
                     break
             dt = time.perf_counter() - t0
-            us_per_step = dt / (chunks * S) * 1e6
-            wps = chunks * S * words_per_step / dt
+            us_per_step = dt / (chunks * Sv) * 1e6
+            wps = chunks * Sv * words_per_step / dt
             results[name] = dict(us_per_step=round(us_per_step, 1),
                                  words_per_sec=round(wps, 1),
                                  compile_s=round(compile_s, 1))
