@@ -18,8 +18,9 @@ run() {
 }
 
 # 1. step-variant decisions (one process, many variants; biggest info/second)
-# (~22 variants x (40s remote compile + 8s measure) — 2700s headroom)
-run step_bench 2700 python tools/step_bench.py
+# (26 variants x (30-150s remote compile + 8s measure; CLAUDE.md compile
+#  range) — worst case ~70 min, give 4500s)
+run step_bench 4500 python tools/step_bench.py
 # 2. scatter microbench (informs ARCHITECTURE scatter table)
 run scatter_bench 1200 python tools/scatter_bench.py
 # 3. full-Wikipedia single-chip capacity probe (VERDICT missing #5)

@@ -45,7 +45,8 @@ def main():
                          f"| {r['words_per_sec']:,.0f} | {r['compile_s']} |")
         for r in rows:
             if "error" in r:
-                lines.append(f"| {r['variant']} | ERROR: {r['error'][:80]} |")
+                lines.append(f"| {r['variant']} | ERROR | "
+                             f"{r['error'][:80]} | |")
         if ok:
             base = next((r for r in ok if r["variant"] == "fused"), None)
             if base and ok[0]["variant"] != "fused":
@@ -80,7 +81,8 @@ def main():
     qlog = os.path.join(d, "queue.log")
     if os.path.exists(qlog):
         lines += ["## queue log", ""]
-        lines += [f"    {t}" for t in open(qlog).read().splitlines()]
+        lines += [f"    {t}" for t in
+                  open(qlog, errors="replace").read().splitlines()]
 
     os.makedirs(d, exist_ok=True)
     out = os.path.join(d, "SUMMARY.md")
