@@ -60,19 +60,16 @@ def run_reference(exe, corpus, out, bitlevel, iters):
 
 
 def run_ours(corpus, out, bitlevel, iters, neg_sharing, seed=1,
-             model="cbow", neg_pool=1, **extra):
+             model="cbow", neg_pool=1, batch_size=512, **extra):
     from word2bits_tpu.config import Word2BitsConfig
     from word2bits_tpu.train import train
 
-    # bitlevel >= 4 uses the config's auto batch (256): fine grids are
-    # staleness-sensitive — measured B=512 53.9 vs B=256 55.1 at bitlevel 4
-    # (tools/sweep_b4_lr.py); bitlevels 0-2 keep the table's historical 512.
     cfg = Word2BitsConfig(
         train_file=corpus, output_file=out, binary=True,
         bitlevel=bitlevel, size=HYPER["size"], window=HYPER["window"],
         negative=HYPER["negative"], iter=iters,
         min_count=HYPER["min_count"], sample=HYPER["sample"],
-        alpha=HYPER["alpha"], batch_size=0 if bitlevel >= 4 else 512,
+        alpha=HYPER["alpha"], batch_size=batch_size,
         steps_per_chunk=64,
         neg_sharing=neg_sharing, neg_pool=neg_pool, debug=1, seed=seed,
         model=model, **extra)
@@ -169,13 +166,18 @@ def main():
         for label, sharing, model, *rest in wanted:
             pool = rest[0] if rest else 1
             extra = rest[1] if len(rest) > 1 else {}
+            # default-mode rows (per-center) and all fine-grid rows run at
+            # the config's AUTO batch (0 -> 256, the measured quality-first
+            # default); explicit throughput-shape modes keep the table's
+            # historical B=512
+            bsz = 0 if (label == "per-center" or bitlevel >= 4) else 512
             our_accs, t_tot = [], 0.0
             for s in range(n_seeds):
                 our_out = (f"/tmp/parity_ours_b{bitlevel}_{sharing}_{model}"
                            f"_p{pool}_{len(extra)}_{s}.bin")
                 t_tot += run_ours(corpus, our_out, bitlevel, iters, sharing,
                                   seed=s + 1, model=model, neg_pool=pool,
-                                  **extra)
+                                  batch_size=bsz, **extra)
                 acc, our_cov = evaluate(our_out, questions)
                 our_accs.append(acc)
             rows.append(dict(bitlevel=bitlevel, mode=label,

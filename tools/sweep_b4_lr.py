@@ -7,8 +7,8 @@ can be extended with data rather than guessed.  Reference quantization branch
 under test: round |x| to nearest 1/2^(bitlevel-1), clip to 1
 (/root/reference/src/word2bits.cpp:100-105).
 
-Usage: python tools/sweep_b4_lr.py [factor[:batch] ...]
-(batch defaults to the parity harness's 512)
+Usage: python tools/sweep_b4_lr.py [--bitlevel N] [factor[:batch] ...]
+(bitlevel defaults to 4; batch defaults to the parity harness's 512)
 """
 
 import json
@@ -27,18 +27,24 @@ def main():
     from word2bits_tpu.config import Word2BitsConfig
     from word2bits_tpu.train import train
 
+    args = sys.argv[1:]
+    bitlevel = 4
+    if "--bitlevel" in args:
+        i = args.index("--bitlevel")
+        bitlevel = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
     specs = []
-    for a in sys.argv[1:] or ["1.5", "2.0", "3.0"]:
+    for a in args or ["1.5", "2.0", "3.0"]:
         fac, _, batch = a.partition(":")
         specs.append((float(fac), int(batch) if batch else 512))
     corpus, questions = ensure_corpus(fast=False)
     for fac, batch in specs:
         accs = []
         for s in range(3):
-            out = f"/tmp/sweep_b4_{fac}_{batch}_{s}.bin"
+            out = f"/tmp/sweep_b{bitlevel}_{fac}_{batch}_{s}.bin"
             cfg = Word2BitsConfig(
                 train_file=corpus, output_file=out, binary=True,
-                bitlevel=4, size=HYPER["size"], window=HYPER["window"],
+                bitlevel=bitlevel, size=HYPER["size"], window=HYPER["window"],
                 negative=HYPER["negative"], iter=HYPER["iters"],
                 min_count=HYPER["min_count"], sample=HYPER["sample"],
                 alpha=HYPER["alpha"] * fac, auto_lr=False,
@@ -47,7 +53,7 @@ def main():
             train(cfg)
             acc, _ = evaluate(out, questions)
             accs.append(acc)
-        print(json.dumps(dict(factor=fac, batch=batch, accs=accs,
+        print(json.dumps(dict(bitlevel=bitlevel, factor=fac, batch=batch, accs=accs,
                               mean=sum(accs) / len(accs))), flush=True)
 
 

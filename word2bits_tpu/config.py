@@ -50,13 +50,19 @@ class Word2BitsConfig:
 
     # --- TPU execution (replaces reference -threads semantics) ---
     threads: int = 12          # accepted for CLI compat; not a parallelism knob
-    # Centers per synchronous step.  0 = auto: 1024, except 256 at
-    # bitlevel >= 4 — fine quantization grids are sensitive to within-batch
-    # parameter staleness (the reference's Hogwild updates are per-word).
-    # Measured at bitlevel 4 on the structured parity corpus
-    # (tools/sweep_b4_lr.py, 3 seeds): B=512 -> 53.9, B=256 -> 55.1 vs
-    # reference 55.2±0.6, while LR rescaling moves the WRONG way (0.5x 49.0,
-    # 1.5x 47.1 — unlike bitlevel 2, whose clamped grid wants auto_lr's 3x).
+    # Centers per synchronous step.  0 = auto: 256, the measured
+    # quality-first default — smaller batches sit closer to the reference's
+    # per-word Hogwild updates (less within-batch parameter staleness).
+    # 5-seed sweeps on the structured parity corpus (per-center,
+    # reference-default flags; tools/sweep_b4_lr.py):
+    #   bitlevel 0: B=256 95.5±0.3  vs B=512 94.6  (reference 93.5±0.6)
+    #   bitlevel 1: B=256 41.5±4.3  vs B=512 38.8  (reference 40.4±2.2)
+    #   bitlevel 2: B=256 50.9±2.7  vs B=512 51.3  (reference 47.9±1.3)
+    #   bitlevel 4: B=256 56.0±1.4  vs B=512 53.9  (reference 54.9±0.9)
+    # At fine grids (>= 4) LR rescaling moves the WRONG way in both
+    # directions (0.5x 49.0, 1.5x 47.1), so batch — not LR — is the right
+    # knob there.  Throughput configs pass -batch-size explicitly (the
+    # bench runs B=8192).
     batch_size: int = 0
     steps_per_chunk: int = 256 # steps fused into one jitted scan call
     # Negative-sample sharing tile: 0 = per-center draws (exact reference
@@ -182,9 +188,8 @@ class Word2BitsConfig:
 
     def __post_init__(self):
         if self.batch_size == 0:
-            # auto batch: see the field docs (staleness at fine grids)
-            object.__setattr__(
-                self, "batch_size", 256 if self.bitlevel >= 4 else 1024)
+            # auto batch: see the field docs (measured quality-first default)
+            object.__setattr__(self, "batch_size", 256)
         if self.bitlevel == 3:
             # The reference's quantize() has a hole at bitlevel 3: every input
             # maps to 0.0 (verified; reference src/word2bits.cpp:73-108 falls
