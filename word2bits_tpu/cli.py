@@ -103,7 +103,10 @@ def accuracy_main(argv=None) -> int:
         with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as tf:
             tf.write(sys.stdin.read())
             tmp = tf.name
-        questions = load_questions(tmp)
+        try:
+            questions = load_questions(tmp)
+        finally:
+            os.unlink(tmp)
     result = evaluate_analogies(words, vectors, questions,
                                 bitlevel=bitlevel, threshold=threshold)
     print(format_report(result))
@@ -133,6 +136,9 @@ def convert_main(argv=None) -> int:
     i = 0
     while i < len(argv):
         if argv[i].startswith("-") and not argv[i][1:].isdigit():
+            if i + 1 >= len(argv):
+                print(f"missing value for {argv[i]}", file=sys.stderr)
+                return 1
             flags[argv[i]] = argv[i + 1]
             i += 2
         else:

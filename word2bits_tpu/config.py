@@ -295,6 +295,23 @@ class Word2BitsConfig:
             if self.neg_stratify and self.model != "cbow":
                 raise ValueError("neg_stratify is implemented for the "
                                  "fused-table CBOW path only")
+            if self.neg_stratify and self.negative < 2:
+                raise ValueError(
+                    "neg_stratify needs -negative >= 2 so each nonzero "
+                    "stratum gets a lane (sampling/unigram.lane_split)")
+        if self.mesh_shape:
+            # the sharded bodies have no Pallas or dedup-scatter path —
+            # reject rather than silently run a different kernel than asked
+            if self.use_pallas:
+                raise ValueError("use_pallas is single-chip only (the "
+                                 "sharded bodies use the XLA matmul path)")
+            if self.dedup_block:
+                raise ValueError("dedup_block is single-chip only (the "
+                                 "sharded bodies scatter per-shard deltas)")
+        if self.fused_tables and not self.neg_sharing:
+            raise ValueError(
+                "fused_tables requires -neg-sharing G (the fused (V, 2D) "
+                "layout exists for the shared-negative path)")
         if self.init not in ("reference", "uniform"):
             raise ValueError(f"init must be 'reference' or 'uniform', got {self.init!r}")
         if self.model not in ("cbow", "skipgram"):

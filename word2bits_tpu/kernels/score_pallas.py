@@ -25,21 +25,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from word2bits_tpu.kernels.quantize_pallas import quantize_values
-from word2bits_tpu.ops.sigmoid import MAX_EXP, EXP_TABLE_SIZE
-
-
-def _sigmoid_lut_values(f):
-    idx = jnp.floor((f + MAX_EXP) * 83.0)
-    x_bin = (idx / EXP_TABLE_SIZE * 2.0 - 1.0) * MAX_EXP
-    sig = jax.nn.sigmoid(x_bin.astype(f.dtype))
-    return jnp.where(f > MAX_EXP, jnp.asarray(1.0, f.dtype),
-                     jnp.where(f < -MAX_EXP, jnp.asarray(0.0, f.dtype), sig))
-
-
-def _sigmoid_exact_values(f):
-    sig = jax.nn.sigmoid(f)
-    return jnp.where(f > MAX_EXP, jnp.asarray(1.0, f.dtype),
-                     jnp.where(f < -MAX_EXP, jnp.asarray(1e-9, f.dtype), sig))
+# the ops sigmoids are plain jnp expressions — usable inside Pallas kernels
+# directly, so the LUT semantics live in exactly one place
+from word2bits_tpu.ops.sigmoid import (
+    sigmoid_exact as _sigmoid_exact_values,
+    sigmoid_lut as _sigmoid_lut_values,
+)
 
 
 def _kernel(bitlevel, reg, pool,

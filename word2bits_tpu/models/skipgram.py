@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
+from word2bits_tpu.models.cbow import CBOWHyper
 from word2bits_tpu.models.cbow_slab import SlabInputs, _context_masks
 from word2bits_tpu.ops.quantize import quantize
 from word2bits_tpu.ops.sigmoid import sigmoid_exact, sigmoid_lut

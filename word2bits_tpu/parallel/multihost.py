@@ -66,39 +66,51 @@ def count_words_range(path: str, start: int, end: int) -> Dict[str, int]:
     the word that begins before `end`."""
     from word2bits_tpu.data.corpus import split_tokens
 
+    SEPS = (b" ", b"\t", b"\n")
+
+    def _find_sep(buf, lo):
+        hits = [i for i in (buf.find(s, lo) for s in SEPS) if i != -1]
+        return min(hits) if hits else -1
+
     with open(path, "rb") as f:
         f.seek(start)
-        chunk = f.read(end - start + 4096 + 1)
-    extra = len(chunk) - (end - start)
+        data = f.read(end - start + 4096 + 1)
+        extra = len(data) - (end - start)
 
-    data = chunk
-    if start > 0:
-        # drop the leading partial word
-        for i, b in enumerate(data):
-            if b in (0x20, 0x09, 0x0A):
-                data = data[i:]
-                break
-        else:
-            return {}
-    if extra > 0:
-        # keep through the end of the word that starts before `end`
-        tail = data[-(extra):]
-        cut = len(data) - extra
-        for i, b in enumerate(tail):
-            if b in (0x20, 0x09, 0x0A):
-                cut = len(data) - extra + i + 1
-                break
-        data = data[:cut]
+        if start > 0:
+            # drop the leading partial word
+            i = _find_sep(data, 0)
+            if i == -1:
+                return {}
+            data = data[i:]
+        if extra > 0:
+            # keep through the end of the word that starts before `end`;
+            # a word longer than the initial 4 KB tail keeps being read
+            # until its separator (or EOF) so no mid-word fragment is ever
+            # counted (the single-host pass sees the whole token)
+            scan_from = len(data) - extra
+            while True:
+                cut = _find_sep(data, scan_from)
+                if cut != -1:
+                    data = data[:cut + 1]
+                    break
+                more = f.read(1 << 16)
+                if not more:
+                    # the straddling word runs to EOF unterminated: the
+                    # reference ReadWord DROPS it
+                    # (reference src/word2bits.cpp:277-279) — cut it away
+                    last = max(data.rfind(s) for s in SEPS)
+                    if last == -1:
+                        return {}
+                    data = data[:last + 1]
+                    break
+                scan_from = len(data)
+                data = data + more
 
     from collections import Counter
-    # Only a range trimmed at an interior boundary gets a synthetic separator
-    # (its last word IS terminated in the full file, by the byte at `end`+).
-    # The final host's range reaches EOF, where the reference ReadWord (and
-    # single-host count_words) DROP a trailing unterminated word
-    # (reference src/word2bits.cpp:277-279) — appending b' ' there would
-    # resurrect it and diverge from the single-host count.
-    if extra > 0:
-        data = data + b" "
+    # data now always ends at a separator (interior boundary) or at the
+    # EOF-drop cut, matching what the single-host pass counts for this
+    # range — no synthetic separator is needed.
     counts = Counter(split_tokens(data))
     return {k.decode("utf-8", errors="surrogateescape"): v
             for k, v in counts.items()}

@@ -134,8 +134,15 @@ class StratifiedSampler:
 
     def lane_split(self, negative: int):
         """(kh, w_hot, w_cold): hot lanes per pool of K and the importance
-        weights.  kh is clipped so a nonzero stratum always gets >= 1 lane."""
+        weights.  kh is clipped so a nonzero stratum always gets >= 1 lane.
+        Requires K >= 2 when both strata carry mass — with one lane the
+        clamps would contradict (kh=1 > K-1=0), silently dropping the cold
+        stratum and biasing the estimator."""
         K = int(negative)
+        if K < 2 and 0.0 < self.p_hot < 1.0:
+            raise ValueError(
+                f"stratified sampling needs negative >= 2 to give each "
+                f"nonzero stratum a lane, got negative={K}")
         kh = int(round(K * self.p_hot))
         if self.p_hot < 1.0:
             kh = min(kh, K - 1)

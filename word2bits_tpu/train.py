@@ -181,7 +181,6 @@ def train(cfg: Word2BitsConfig,
     def _uv(u_, v_):
         """Split params for export/checkpoint (fused mode interleaves)."""
         if fused_mode:
-            from word2bits_tpu.models.cbow_fused import deinterleave
             return deinterleave(u_)
         return u_, v_
 
