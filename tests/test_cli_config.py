@@ -89,3 +89,27 @@ def test_auto_lr_scaling():
     assert not cfg.auto_lr and cfg.effective_alpha == pytest.approx(0.05)
     cfg2 = config_from_argv(["-bitlevel", "2", "-alpha", "0.05"])
     assert cfg2.effective_alpha == pytest.approx(0.15)
+
+
+def test_single_chip_only_flags_rejected_on_mesh():
+    """The sharded bodies have no Pallas score kernel or dedup-scatter path;
+    silently running a different kernel than requested is worse than an
+    error (round-2 review finding)."""
+    mesh = {"data": 2, "vocab": 4}
+    with pytest.raises(ValueError, match="single-chip"):
+        Word2BitsConfig(mesh_shape=mesh, neg_sharing=8, use_pallas=True)
+    with pytest.raises(ValueError, match="single-chip"):
+        Word2BitsConfig(mesh_shape=mesh, dedup_block=512)
+    Word2BitsConfig(mesh_shape=mesh, neg_sharing=8)  # plain mesh fine
+
+
+def test_fused_tables_requires_neg_sharing():
+    with pytest.raises(ValueError, match="neg-sharing"):
+        Word2BitsConfig(fused_tables=True)
+    Word2BitsConfig(fused_tables=True, neg_sharing=16)
+
+
+def test_neg_stratify_needs_two_lanes():
+    with pytest.raises(ValueError, match="negative >= 2"):
+        Word2BitsConfig(negative=1, neg_stratify=True, hot_rows=16,
+                        fused_tables=True, neg_sharing=16)

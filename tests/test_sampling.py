@@ -138,3 +138,18 @@ def test_native_alias_build_bit_identical():
                                       np.asarray(t_py.alias))
         np.testing.assert_array_equal(np.asarray(t_nat.prob),
                                       np.asarray(t_py.prob))
+
+
+def test_lane_split_rejects_single_lane():
+    """K=1 cannot give both nonzero strata a lane — the old clamps
+    contradicted (kh=1 > K-1=0) and silently zeroed the cold weight."""
+    import numpy as np
+    import pytest
+    from word2bits_tpu.sampling.unigram import build_stratified_tables
+
+    st = build_stratified_tables(np.arange(1, 40, dtype=np.float64)[::-1], 8)
+    assert 0.0 < st.p_hot < 1.0
+    with pytest.raises(ValueError, match="negative >= 2"):
+        st.lane_split(1)
+    kh, wh, wc = st.lane_split(2)   # minimum legal K
+    assert kh == 1 and abs(kh * wh + (2 - kh) * wc - 2.0) < 1e-9
