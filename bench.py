@@ -19,6 +19,13 @@ after minutes of quiet.  The measurement therefore runs in a CHILD process
 (env W2B_BENCH_CHILD=1) supervised by this script: a hung or failed child is
 killed by exact PID and retried with backoff, so one flake cannot cost the
 round its perf evidence (round-1 BENCH rc=1 postmortem).
+
+Variant adjudication: the child measures the base config first, then the
+round-2 quality-safe step variants (hot/cold scatter split, dense-hot
+negatives, banded windowed sums — each proven update- or expectation-equal
+to the base step; ARCHITECTURE.md), publishing strictly improving results
+as it goes (stdout + PARTIAL_FILE sidecar).  The reported number is the
+best configuration the chip actually served this run.
 """
 
 import json
@@ -46,11 +53,24 @@ CFG = dict(bitlevel=1, size=200, window=8, negative=24, min_count=5,
            sample=1e-3, alpha=0.05, batch_size=8192, steps_per_chunk=16,
            neg_sharing=64, dtype="bfloat16",
            # hot/cold scatter + negative-sampling + windowed-sum variants
-           # (0/None = off); set from tools/step_bench.py measurements on
-           # the real chip
+           # (0/None = off); adjudicated IN-PROCESS by the child (VARIANTS)
            hot_rows=0, neg_mode="sample",  # "sample" | "dense_hot"
            banded=0)
-BENCH_SECONDS = 20.0
+# Quality-safe step variants adjudicated by the child at bench time (the
+# round-2 scatter/negative/windowed redesigns; each is proven update- or
+# expectation-equal to the base step — see ARCHITECTURE.md).  Base runs
+# first and its result is published immediately; each later variant only
+# replaces it if faster, so a tunnel re-wedge mid-adjudication can only
+# cost upside, never the round's number.
+VARIANTS = [
+    dict(name="base"),
+    dict(name="hot2048", hot_rows=2048),
+    dict(name="dense_hot2048", hot_rows=2048, neg_mode="dense_hot"),
+    dict(name="banded256", banded=256),
+]
+BENCH_SECONDS = 8.0       # per-variant timed window
+CHILD_BUDGET = 440.0      # stop starting variants near the supervisor limit
+PARTIAL_FILE = os.path.join(CACHE, "bench_partial.json")
 
 
 def _prepare():
@@ -73,15 +93,36 @@ def _prepare():
 
 
 # Child-process measurement budget and retry schedule.  Worst case
-# ~4 attempts x 600 s + sleeps ~= 45 min; each sleep gives the tunnel the
+# ~5 attempts x 720 s + sleeps ~= 74 min; each sleep gives the tunnel the
 # quiet period it needs to recover.
-CHILD_TIMEOUT = 600.0
+CHILD_TIMEOUT = 720.0
 RETRY_DELAYS = [30.0, 120.0, 240.0, 420.0]
 
 
+def _read_partial():
+    """Best result the child managed to record before dying, if any."""
+    try:
+        obj = json.load(open(PARTIAL_FILE))
+        return obj if "metric" in obj else None
+    except Exception:
+        return None
+
+
 def _supervise() -> int:
-    """Run the measurement in a child; retry on failure/hang with backoff."""
+    """Run the measurement in a child; retry on failure/hang with backoff.
+
+    The child measures the base config FIRST and records every improving
+    result to PARTIAL_FILE before trying the next variant, so even a child
+    killed mid-adjudication leaves a salvageable number (on POSIX,
+    TimeoutExpired carries no partial stdout — the sidecar file is the only
+    channel that survives a kill)."""
     env = dict(os.environ, W2B_BENCH_CHILD="1")
+    try:
+        os.makedirs(CACHE, exist_ok=True)
+        if os.path.exists(PARTIAL_FILE):
+            os.remove(PARTIAL_FILE)  # stale results must not leak in
+    except OSError:
+        pass
     attempts = len(RETRY_DELAYS) + 1
     for i in range(attempts):
         if i:
@@ -93,12 +134,17 @@ def _supervise() -> int:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                env=env, timeout=CHILD_TIMEOUT,
                                capture_output=True, text=True)
-        except subprocess.TimeoutExpired as e:
-            print(f"bench: child hung >{CHILD_TIMEOUT:.0f}s, killed. stderr tail:\n"
-                  + "\n".join((e.stderr or "").splitlines()[-8:]
-                              if isinstance(e.stderr, str) else []),
-                  file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            partial = _read_partial()
+            if partial is not None:
+                print("bench: child hung mid-adjudication; using its last "
+                      "recorded result", file=sys.stderr, flush=True)
+                print(json.dumps(partial), flush=True)
+                return 0
+            print(f"bench: child hung >{CHILD_TIMEOUT:.0f}s before any result; "
+                  "killed", file=sys.stderr, flush=True)
             continue
+        # last JSON line wins: the child prints strictly improving results
         for line in reversed(r.stdout.splitlines()):
             line = line.strip()
             if line.startswith("{"):
@@ -109,6 +155,12 @@ def _supervise() -> int:
                 if "metric" in obj:
                     print(line, flush=True)
                     return 0
+        partial = _read_partial()
+        if partial is not None:
+            print(f"bench: child died rc={r.returncode} mid-adjudication; "
+                  "using its last recorded result", file=sys.stderr, flush=True)
+            print(json.dumps(partial), flush=True)
+            return 0
         print(f"bench: child exited rc={r.returncode} without a result. "
               "stderr tail:\n" + "\n".join(r.stderr.splitlines()[-8:]),
               file=sys.stderr, flush=True)
@@ -123,54 +175,34 @@ def main():
     print("bench: child starting imports", file=sys.stderr, flush=True)
     import jax
     print("bench: jax imported", file=sys.stderr, flush=True)
-    if os.environ.get("W2B_FORCE_CPU"):  # testing only — the metric is TPU
+    forced_cpu = bool(os.environ.get("W2B_FORCE_CPU"))
+    if forced_cpu:  # testing only — the metric is TPU
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
     import jax.numpy as jnp
-    from word2bits_tpu.data.pipeline import build_epoch_arrays
+    from word2bits_tpu.data.pipeline import build_epoch_arrays, cold_positions
     from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
     from word2bits_tpu.models.cbow_fused import interleave, make_fused_train_chunk
     from word2bits_tpu.models.init import init_params
-    from word2bits_tpu.sampling.unigram import build_alias_table
+    from word2bits_tpu.sampling.unigram import (build_alias_table,
+                                                build_stratified_tables)
 
+    t_start = time.perf_counter()
+    bench_seconds = float(os.environ.get("W2B_BENCH_SECONDS", BENCH_SECONDS))
     encoded, counts, train_words = _prepare()
     V = len(counts)
     B, S, W = CFG["batch_size"], CFG["steps_per_chunk"], CFG["window"]
     hyper = CBOWHyper(bitlevel=CFG["bitlevel"], size=CFG["size"], window=W,
                       negative=CFG["negative"], reg=0.0)
-
-    import jax.numpy as _jnp
-    u, v = init_params(V, CFG["size"], init="uniform", seed=0,
-                       dtype=_jnp.dtype(CFG["dtype"]))
-    params = interleave(u, v)  # fused (V, 2D) table: one scatter for u+v_center
     weights = np.maximum(counts, 1) ** 0.75
-    hot_rows = int(CFG.get("hot_rows") or 0)
-    dense_hot = None
-    if CFG.get("neg_mode") == "dense_hot":
-        from word2bits_tpu.sampling.unigram import build_stratified_tables
-        st = build_stratified_tables(weights, hot_rows)
-        dense_hot = st.dense_split(CFG["negative"])
-        table = st.cold
-    else:
-        table = build_alias_table(weights)
-    chunk_fn = make_fused_train_chunk(hyper, V, B, S,
-                                      neg_sharing=CFG["neg_sharing"],
-                                      hot_rows=hot_rows, dense_hot=dense_hot,
-                                      banded=int(CFG.get("banded") or 0))
 
     capacity = ((len(encoded) + S * B + 8 + 1023) // 1024) * 1024
     ep = build_epoch_arrays(encoded, counts, CFG["sample"], train_words, W,
                             np.random.default_rng(0), capacity=capacity)
     tokens = jnp.asarray(ep.tokens)
     sents = jnp.asarray(ep.sent_ids)
-    extra = ()
-    if hot_rows:
-        from word2bits_tpu.data.pipeline import cold_positions
-        n_rows = len(ep.tokens) // B + S + 2
-        extra = (jnp.asarray(cold_positions(ep.tokens, B, W, n_rows,
-                                            hot_rows)),)
     n_centers = max(ep.n_tokens, 1)
     words_per_step = B * train_words / n_centers
     denom = 5.0 * train_words + 1.0
@@ -183,49 +215,100 @@ def main():
                             wca_per_step=jnp.float32(words_per_step),
                             denom=jnp.float32(denom))
 
-    key = jax.random.PRNGKey(0)
-    # warmup / compile.  NOTE: on the axon TPU backend block_until_ready is
-    # unreliable (returns before execution); a host scalar fetch is the only
-    # trustworthy synchronization, so all timing below syncs via float(loss).
-    print("bench: compiling + warmup...", file=sys.stderr, flush=True)
-    key, sub = jax.random.split(key)
-    params, loss = chunk_fn(params, tokens, sents, table.prob, table.alias,
-                            scalars(0, 0.0), sub, *extra)
-    float(loss)
-    print("bench: timing...", file=sys.stderr, flush=True)
-
-    # timed region: pipeline 16 chunks per sync to amortize dispatch latency
-    t0 = time.perf_counter()
-    chunks = 0
-    words_done = 0.0
-    while True:
-        for _ in range(16):
-            key, sub = jax.random.split(key)
-            params, loss = chunk_fn(params, tokens, sents, table.prob,
-                                    table.alias, scalars(chunks, words_done),
-                                    sub, *extra)
-            chunks += 1
-            words_done += S * words_per_step
-        float(loss)  # host fetch forces the dependency chain
-        if time.perf_counter() - t0 > BENCH_SECONDS:
-            break
-    dt = time.perf_counter() - t0
-    words_per_sec = words_done / dt
-
     baseline = None
     if os.path.exists(BASELINE_FILE):
         try:
             baseline = json.load(open(BASELINE_FILE))["words_per_sec"]
         except Exception:
             baseline = None
-    vs = words_per_sec / baseline if baseline else None
 
-    print(json.dumps({
-        "metric": "train_words_per_sec_per_chip",
-        "value": round(words_per_sec, 1),
-        "unit": "words/sec",
-        "vs_baseline": round(vs, 3) if vs is not None else None,
-    }))
+    def run_variant(var):
+        """Build one variant's chunk fn, warm up, and time it."""
+        cfg = dict(CFG)
+        cfg.update(var)
+        hot = int(cfg.get("hot_rows") or 0)
+        dense = None
+        if cfg.get("neg_mode") == "dense_hot":
+            st = build_stratified_tables(weights, hot)
+            dense = st.dense_split(cfg["negative"])
+            table = st.cold
+        else:
+            table = build_alias_table(weights)
+        chunk_fn = make_fused_train_chunk(hyper, V, B, S,
+                                          neg_sharing=cfg["neg_sharing"],
+                                          hot_rows=hot, dense_hot=dense,
+                                          banded=int(cfg.get("banded") or 0))
+        extra = ()
+        if hot:
+            n_rows = len(ep.tokens) // B + S + 2
+            extra = (jnp.asarray(cold_positions(ep.tokens, B, W, n_rows, hot)),)
+        u, v = init_params(V, cfg["size"], init="uniform", seed=0,
+                           dtype=jnp.dtype(cfg["dtype"]))
+        params = interleave(u, v)  # fused (V, 2D): one scatter for u+v_center
+        key = jax.random.PRNGKey(0)
+        # warmup / compile.  NOTE: on the axon TPU backend block_until_ready
+        # is unreliable (returns before execution); a host scalar fetch is
+        # the only trustworthy synchronization — all timing syncs via
+        # float(loss).
+        print(f"bench: [{var['name']}] compiling + warmup...",
+              file=sys.stderr, flush=True)
+        key, sub = jax.random.split(key)
+        params, loss = chunk_fn(params, tokens, sents, table.prob, table.alias,
+                                scalars(0, 0.0), sub, *extra)
+        float(loss)
+        print(f"bench: [{var['name']}] timing...", file=sys.stderr, flush=True)
+        # timed region: pipeline 16 chunks per sync to amortize dispatch
+        t0 = time.perf_counter()
+        chunks = 0
+        words_done = 0.0
+        while True:
+            for _ in range(16):
+                key, sub = jax.random.split(key)
+                params, loss = chunk_fn(params, tokens, sents, table.prob,
+                                        table.alias,
+                                        scalars(chunks, words_done),
+                                        sub, *extra)
+                chunks += 1
+                words_done += S * words_per_step
+            float(loss)  # host fetch forces the dependency chain
+            if time.perf_counter() - t0 > bench_seconds:
+                break
+        return words_done / (time.perf_counter() - t0)
+
+    # CPU smoke mode measures only the base config (minutes-per-variant there)
+    variants = VARIANTS[:1] if forced_cpu else VARIANTS
+    best = None
+    for vi, var in enumerate(variants):
+        if vi and time.perf_counter() - t_start > CHILD_BUDGET:
+            print("bench: child budget reached; skipping remaining variants",
+                  file=sys.stderr, flush=True)
+            break
+        try:
+            wps = run_variant(var)
+        except Exception as e:
+            # base MUST succeed (no result otherwise); a later variant's
+            # failure only costs its upside
+            if best is None:
+                raise
+            print(f"bench: [{var['name']}] failed: {e!r}",
+                  file=sys.stderr, flush=True)
+            continue
+        print(f"bench: [{var['name']}] {wps:,.0f} words/sec",
+              file=sys.stderr, flush=True)
+        if best is None or wps > best["value"]:
+            best = {
+                "metric": "train_words_per_sec_per_chip",
+                "value": round(wps, 1),
+                "unit": "words/sec",
+                "vs_baseline": round(wps / baseline, 3) if baseline else None,
+                "variant": var["name"],
+            }
+            # record progressively: a kill mid-adjudication must not lose
+            # the round's number (supervisor salvages PARTIAL_FILE)
+            with open(PARTIAL_FILE + ".tmp", "w") as f:
+                json.dump(best, f)
+            os.replace(PARTIAL_FILE + ".tmp", PARTIAL_FILE)
+            print(json.dumps(best), flush=True)
 
 
 if __name__ == "__main__":
