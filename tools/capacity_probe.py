@@ -8,6 +8,14 @@ words/sec over a few pipelined steps, host-fetch sync only.
 
 Usage: python tools/capacity_probe.py [V] [D] [B] [--cpu] [--f32]
                                       [--dense H]   (dense-hot negatives)
+                                      [--analyze]   (compile-only: buffer
+                                                     report, no execution)
+
+--analyze lowers the step with ShapeDtypeStructs (the table is never
+materialized) and prints XLA's buffer assignment (memory_analysis): with
+donation honored, output aliases the table argument and peak = table +
+temps, not 2x table — the compile-time proof of the no-scan path's fix for
+the round-1 >=2.5M OOM, checkable even when the TPU tunnel is down.
 """
 
 import json
@@ -72,6 +80,37 @@ def main():
                            wca_per_step=jnp.float32(B),
                            denom=jnp.float32(1e12))
     key = jax.random.PRNGKey(0)
+
+    if "--analyze" in sys.argv:
+        # compile-only: the table exists just as an avals shape, so the full
+        # 3.7M x 1600 buffer is never allocated on host or device
+        spec = jax.ShapeDtypeStruct((V, 2 * D), dtype)
+        t0 = time.perf_counter()
+        compiled = chunk1.lower(spec, tokens, sents, atab.prob, atab.alias,
+                                scalars, key).compile()
+        ma = compiled.memory_analysis()
+        fields = {}
+        for name in ("argument_size_in_bytes", "output_size_in_bytes",
+                     "temp_size_in_bytes", "alias_size_in_bytes",
+                     "generated_code_size_in_bytes"):
+            fields[name.replace("_in_bytes", "_gb")] = round(
+                getattr(ma, name, 0) / 1e9, 3)
+        table_gb = V * 2 * D * dtype.itemsize / 1e9
+        # peak live = arguments + temps + (output NOT aliased ? output : 0)
+        aliased = fields["alias_size_in_bytes".replace("_in_bytes", "_gb")] \
+            >= round(table_gb, 3)
+        peak = (fields["argument_size_gb"] + fields["temp_size_gb"]
+                + (0.0 if aliased else fields["output_size_gb"]))
+        print(json.dumps({
+            "V": V, "D": D, "B": B, "dtype": dtype.name,
+            "dense_hot": dense_H, "table_gb": round(table_gb, 2),
+            "compile_s": round(time.perf_counter() - t0, 1),
+            "backend": jax.default_backend(),
+            **fields,
+            "table_output_aliased": bool(aliased),
+            "peak_live_gb": round(peak, 2),
+        }))
+        return
     t0 = time.perf_counter()
     key, sub = jax.random.split(key)
     table, loss = chunk1(table, tokens, sents, atab.prob, atab.alias,

@@ -24,6 +24,9 @@ run step_bench 4500 python tools/step_bench.py
 # 2. scatter microbench (informs ARCHITECTURE scatter table)
 run scatter_bench 1200 python tools/scatter_bench.py
 # 3. full-Wikipedia single-chip capacity probe (VERDICT missing #5)
+#    compile-only buffer report first (cannot OOM; gives the real HBM peak
+#    incl. temps), then the execution probes
+run capacity_3.7M_analyze 900 python tools/capacity_probe.py 3700000 800 16384 --analyze
 run capacity_3.7M 1200 python tools/capacity_probe.py 3700000 800 16384
 run capacity_3.7M_dense 1200 python tools/capacity_probe.py 3700000 800 16384 --dense 4096
 # 4. the round's headline: bench.py (self-supervising, retries internally)

@@ -308,10 +308,12 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
     """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key
     [, cold_pos]) -> (table, loss_sum); table is the fused (V, 2D) array.
 
-    With hot_rows > 0 the trailing cold_pos argument is REQUIRED: the
-    int32 [n_steps, C] per-step cold-row compaction map from
-    data.pipeline.cold_positions (global step t = (base0 - W)//B + s indexes
-    its rows).
+    With hot_rows > 0, pass the trailing cold_pos argument — the int32
+    [n_steps, C] per-step cold-row compaction map from
+    data.pipeline.cold_positions (global step t = (base0 - W)//B + s
+    indexes its rows) — to compact the u-side cold scatter.  Without it
+    (cold_pos=None) the u-side runs the plain scatter and hot_rows only
+    shapes the negative stratum (dense_hot / strat_lanes).
 
     With strat_lanes = (kh, w_hot, w_cold) (sampling/unigram.
     StratifiedSampler.lane_split), alias_prob/alias_alias must each be the
