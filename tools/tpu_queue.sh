@@ -5,7 +5,7 @@
 # not stop the queue (the tunnel may re-wedge mid-queue — later jobs retry
 # their own first dispatch).
 set -u
-OUT=/tmp/tpu_runs
+OUT=${TPU_RUNS_DIR:-/tmp/tpu_runs}
 mkdir -p "$OUT"
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
