@@ -24,15 +24,16 @@ HYPER = dict(size=100, window=5, negative=10, iters=5, min_count=5,
              sample=1e-3, alpha=0.05)
 
 
-def ensure_corpus(fast=False):
+def ensure_corpus(fast=False, big=False):
     os.makedirs(CACHE, exist_ok=True)
-    tag = "fast" if fast else "full"
+    tag = "big" if big else ("fast" if fast else "full")
     corpus = os.path.join(CACHE, f"structured_{tag}.txt")
     questions = os.path.join(CACHE, f"structured_{tag}_questions.txt")
     if not (os.path.exists(corpus) and os.path.exists(questions)):
         from word2bits_tpu.data.structured import structured_corpus
         structured_corpus(corpus, questions,
-                          n_sentences=30_000 if fast else 120_000,
+                          n_sentences=(1_200_000 if big
+                                       else 30_000 if fast else 120_000),
                           n_questions=500 if fast else 1000)
     return corpus, questions
 
@@ -64,12 +65,13 @@ def run_ours(corpus, out, bitlevel, iters, neg_sharing, seed=1,
     from word2bits_tpu.config import Word2BitsConfig
     from word2bits_tpu.train import train
 
+    alpha = extra.pop("alpha", HYPER["alpha"])
     cfg = Word2BitsConfig(
         train_file=corpus, output_file=out, binary=True,
         bitlevel=bitlevel, size=HYPER["size"], window=HYPER["window"],
         negative=HYPER["negative"], iter=iters,
         min_count=HYPER["min_count"], sample=HYPER["sample"],
-        alpha=HYPER["alpha"], batch_size=batch_size,
+        alpha=alpha, batch_size=batch_size,
         steps_per_chunk=64,
         neg_sharing=neg_sharing, neg_pool=neg_pool, debug=1, seed=seed,
         model=model, **extra)
@@ -109,10 +111,111 @@ MODES = [("per-center", 0, "cbow"), ("shared-16", 16, "cbow"),
           dict(fused_tables=True, hot_rows=256, neg_dense_hot=True))]
 
 
+def main_big():
+    """Bench-config quality at text8 scale (VERDICT-r1 weak #6).
+
+    The throughput question the small-corpus table cannot answer: at the
+    bench configuration (B=8192, neg_sharing=64, bf16 fused tables) and the
+    SAME 5 epochs, does the shipped trainer (auto_lr handles the batch/LR
+    interaction) reach reference accuracy once the corpus is big enough for
+    a realistic update count — i.e. the text8 regime (~16M tokens here vs
+    text8's 17M, reference README.md:93 quickstart shape)?  The small-
+    corpus rows at B=8192 are update-starved by construction (~190 updates/
+    epoch); text8-scale gives ~2k steps/epoch, the regime the bench number
+    actually claims.
+    """
+    n_seeds = 3
+    if "--seeds" in sys.argv:
+        n_seeds = int(sys.argv[sys.argv.index("--seeds") + 1])
+    corpus, questions = ensure_corpus(big=True)
+    exe = build_reference()
+    iters = HYPER["iters"]
+    rows_path = os.path.join(CACHE, "parity_rows_v2_big.jsonl")
+    rows = []
+    if os.path.exists(rows_path) and "--fresh" not in sys.argv:
+        rows = [json.loads(l) for l in open(rows_path) if l.strip()]
+    done = {(r["bitlevel"], r["mode"]) for r in rows}
+
+    modes = [
+        # the bench.py throughput config, shipped defaults otherwise
+        ("bench-8192-64", 64, "cbow", 1,
+         dict(fused_tables=True, dtype="bfloat16", batch_size=8192)),
+        # large-batch LR probes: the 3-seed base row sits 0.3 pt below the
+        # tolerance line with sigma ~5 — if raising alpha moves the mean the
+        # auto_lr rule gains a large-batch term, else it was seed noise
+        ("bench-8192-64-a0.10", 64, "cbow", 1,
+         dict(fused_tables=True, dtype="bfloat16", batch_size=8192,
+              alpha=0.10)),
+        ("bench-8192-64-a0.15", 64, "cbow", 1,
+         dict(fused_tables=True, dtype="bfloat16", batch_size=8192,
+              alpha=0.15)),
+    ]
+    for bitlevel in (1,):
+        ref_accs, t_ref = [], 0.0
+        ref_cov = 100.0
+        prior = next((r for r in rows if r["bitlevel"] == bitlevel), None)
+        if prior is not None:  # reference legs are reusable across modes
+            ref_accs = list(prior["ref_accs"])
+            ref_cov = prior["ref_cov"]
+            t_ref = prior["ref_time"] * n_seeds
+        for label, sharing, model, pool, extra in modes:
+            if (bitlevel, label) in done:
+                continue
+            if not ref_accs:
+                for s in range(n_seeds):
+                    ref_out = f"/tmp/parity_big_ref_b{bitlevel}_{s}.bin"
+                    t_ref += run_reference(exe, corpus, ref_out, bitlevel,
+                                           iters)
+                    acc, ref_cov = evaluate(ref_out, questions)
+                    ref_accs.append(acc)
+                    print(f"ref b{bitlevel} seed{s}: {acc:.1f}", flush=True)
+            bsz = extra.pop("batch_size", 512)
+            our_accs, t_ours = [], 0.0
+            for s in range(n_seeds):
+                out = f"/tmp/parity_big_ours_b{bitlevel}_{label}_{s}.bin"
+                t_ours += run_ours(corpus, out, bitlevel, iters, sharing,
+                                   seed=s + 1, model=model, neg_pool=pool,
+                                   batch_size=bsz, **extra)
+                acc, our_cov = evaluate(out, questions)
+                our_accs.append(acc)
+                print(f"ours b{bitlevel} {label} seed{s}: {acc:.1f}",
+                      flush=True)
+            row = dict(bitlevel=bitlevel, mode=label, ref_accs=ref_accs,
+                       our_accs=our_accs, ref_cov=ref_cov, our_cov=our_cov,
+                       ref_time=t_ref / n_seeds, our_time=t_ours / n_seeds)
+            rows.append(row)
+            with open(rows_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            print(json.dumps(row), flush=True)
+
+    out_md = os.path.join(REPO, "docs", "acceptance_benchcfg.md")
+    with open(out_md, "w") as f:
+        f.write("# Bench-config quality at text8 scale\n\n")
+        f.write("Structured-analogy corpus scaled to ~16M tokens (text8's "
+                "size; no network egress), 5 epochs, bitlevel 1 — the "
+                "regime bench.py's throughput configuration actually "
+                "claims.  Reference = C++ binary, 4 threads; ours = the "
+                "shipped trainer at the bench config (B=8192, "
+                "neg_sharing=64, bf16 fused tables, auto_lr default).\n\n")
+        f.write("| bitlevel | mode | ref acc % | ours acc % | at/above |\n")
+        f.write("|---|---|---|---|---|\n")
+        for r in rows:
+            rm, rs = _stats(r["ref_accs"])
+            om, os_ = _stats(r["our_accs"])
+            ok = "yes" if om + 1e-9 >= rm - max(rs, 1.0) else "NO"
+            f.write(f"| {r['bitlevel']} | {r['mode']} | {rm:.1f}±{rs:.1f} "
+                    f"| {om:.1f}±{os_:.1f} | {ok} |\n")
+        f.write(f"\nGenerated {time.strftime('%Y-%m-%d %H:%M')} by "
+                f"tools/accuracy_parity.py --big (seeds={n_seeds}).\n")
+    print(f"wrote {out_md}")
+
+
 def main():
     if "--cpu" in sys.argv:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if "--big" in sys.argv:
+        return main_big()
     fast = "--fast" in sys.argv
     n_seeds = 3
     if "--seeds" in sys.argv:

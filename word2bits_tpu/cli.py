@@ -42,7 +42,8 @@ def train_main(argv=None) -> int:
               "  -save-vocab -read-vocab -classes -threads\n"
               "Extensions: -batch-size -seed\n"
               "Subcommands: train (default) | accuracy FILE [bitlevel "
-              "threshold] | convert IN OUT | nearest FILE [words...]")
+              "threshold] | convert IN OUT | nearest FILE [words...] | "
+              "tune -train FILE")
         return 0
     from word2bits_tpu.train import prepare, train
 
@@ -257,6 +258,37 @@ def nearest_main(argv=None) -> int:
     return 0
 
 
+def tune_main(argv=None) -> int:
+    """Throughput auto-tuner (extension; see word2bits_tpu/tune.py).
+
+    Usage: tune -train FILE [reference/extension flags...]
+                [-tune-seconds S] [-json 1]
+
+    Measures the quality-safe step variants (fused/pooled negatives,
+    hot/cold scatter split, dense-hot negatives, banded windowed sums,
+    bf16) on YOUR corpus and backend for a few seconds each and prints the
+    flags worth adding to the train command.
+    """
+    _maybe_force_cpu()
+    argv = list(sys.argv[1:] if argv is None else argv)
+    seconds, as_json = 4.0, False
+    if "-tune-seconds" in argv:
+        i = argv.index("-tune-seconds")
+        seconds = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if "-json" in argv:
+        i = argv.index("-json")
+        as_json = bool(int(argv[i + 1]))
+        argv = argv[:i] + argv[i + 2:]
+    cfg = config_from_argv(argv)
+    if cfg.train_file is None:
+        print("Usage: tune -train FILE [flags...] [-tune-seconds S] "
+              "[-json 1]")
+        return 0
+    from word2bits_tpu.tune import run_tune
+    return run_tune(cfg, seconds=seconds, as_json=as_json)
+
+
 def main() -> int:
     args = sys.argv[1:]
     if args and args[0] == "train":
@@ -267,6 +299,8 @@ def main() -> int:
         return convert_main(args[1:])
     if args and args[0] in ("nearest", "distance"):
         return nearest_main(args[1:])
+    if args and args[0] == "tune":
+        return tune_main(args[1:])
     # bare invocation with reference flags -> trainer
     return train_main(args)
 

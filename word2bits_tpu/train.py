@@ -69,6 +69,115 @@ def prepare(cfg: Word2BitsConfig) -> Tuple[Vocab, np.ndarray]:
     return vocab, encoded
 
 
+@dataclass
+class Engine:
+    """One training engine: the jitted chunk callable plus its state.
+
+    chunk_fn signature is uniform across model families / table layouts:
+        u, v, loss = chunk_fn(u, v, tokens, sents, prob, alias, scalars, key)
+    (fused mode carries the interleaved table in `u` and a zero-size
+    sentinel in `v`).  `seg_cold["pos"]` must be set to the current
+    segment's cold-position map before calling when cfg.hot_rows > 0 on the
+    fused path.  Shared by train() and tune() so what tune times is exactly
+    what train runs.
+    """
+    chunk_fn: Optional[Callable]
+    u: Optional[jnp.ndarray]
+    v: Optional[jnp.ndarray]
+    table: AliasTable
+    sharded: Optional[object]
+    fused_mode: bool
+    seg_cold: dict
+
+
+def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
+                 hyper: CBOWHyper, B: int, S: int) -> Engine:
+    """Construct the chunk engine for a config (the reference's TrainModel
+    thread-spawn setup, src/word2bits.cpp:518-545, becomes table/param/
+    kernel selection here)."""
+    V = vocab.size
+    strat_lanes = None
+    dense_hot = None
+    if cfg.neg_stratify:
+        # stratified hot/cold negative draws (see sampling/unigram.py): the
+        # chunk receives the (hot, cold) alias-array pairs through the same
+        # two positional slots as the plain table
+        from word2bits_tpu.sampling.unigram import build_stratified_tables
+        st = build_stratified_tables(vocab.unigram_weights(), cfg.hot_rows)
+        strat_lanes = st.lane_split(cfg.negative)
+        table = AliasTable(prob=(st.hot.prob, st.cold.prob),
+                           alias=(st.hot.alias, st.cold.alias))
+    elif cfg.neg_dense_hot:
+        # dense hot negatives: the chunk's alias slots carry the COLD
+        # stratum's table; hot weights bake into the jit as constants
+        from word2bits_tpu.sampling.unigram import build_stratified_tables
+        if cfg.hot_rows >= V:
+            raise ValueError("-neg-dense-hot needs -hot-rows < vocab size")
+        st = build_stratified_tables(vocab.unigram_weights(), cfg.hot_rows)
+        dense_hot = st.dense_split(cfg.negative)
+        table = st.cold
+    else:
+        table = build_alias_table(vocab.unigram_weights())
+    sharded = None
+    chunk_fn = None
+    seg_cold = {"pos": None}
+    if cfg.mesh_shape:
+        # multi-chip path: vocab-sharded params + data-parallel batch over a
+        # (data, vocab) mesh, scanning S steps per dispatch exactly like the
+        # single-chip chunk (parallel/chunk.py)
+        from word2bits_tpu.parallel.trainer import ShardedTrainer
+        sharded = ShardedTrainer(cfg, V, u, v, dense_hot=dense_hot)
+        u = v = None
+    elif cfg.fused_tables and cfg.neg_sharing and cfg.model == "cbow":
+        # interleaved (V, 2D) table path: one scatter covers u + center-v
+        from word2bits_tpu.models.cbow_fused import (
+            interleave, make_fused_train_chunk)
+        fused_fn = make_fused_train_chunk(hyper, V, B, S,
+                                          neg_sharing=cfg.neg_sharing,
+                                          use_pallas=cfg.use_pallas,
+                                          dedup_block=cfg.dedup_block,
+                                          neg_pool=cfg.neg_pool,
+                                          hot_rows=cfg.hot_rows,
+                                          strat_lanes=strat_lanes,
+                                          dense_hot=dense_hot,
+                                          hot_pallas=cfg.hot_pallas,
+                                          banded=cfg.banded_tile)
+
+        # -hot-rows: the per-segment cold-row compaction map, updated by the
+        # segment loop below (an explicit jit arg; the holder just threads it
+        # through this fixed chunk_fn signature)
+        def chunk_fn(u_, v_, *args):
+            # u_ carries the fused table; v_ is a zero-size sentinel
+            if cfg.hot_rows:
+                table_, loss_ = fused_fn(u_, *args, seg_cold["pos"])
+            else:
+                table_, loss_ = fused_fn(u_, *args)
+            return table_, v_, loss_
+
+        u = interleave(u, v)
+        v = jnp.zeros((0,), u.dtype)
+    elif cfg.model == "skipgram":
+        from word2bits_tpu.models.skipgram import make_skipgram_train_chunk
+        chunk_fn = make_skipgram_train_chunk(hyper, V, B, S,
+                                             neg_sharing=cfg.neg_sharing,
+                                             dedup_block=cfg.dedup_block,
+                                             neg_pool=cfg.neg_pool,
+                                             hot_rows=cfg.hot_rows,
+                                             dense_hot=dense_hot)
+    else:
+        chunk_fn = make_slab_train_chunk(hyper, V, B, S,
+                                         neg_sharing=cfg.neg_sharing,
+                                         use_pallas=cfg.use_pallas,
+                                         dedup_block=cfg.dedup_block,
+                                         neg_pool=cfg.neg_pool,
+                                         banded=cfg.banded_tile)
+
+    fused_mode = bool(sharded is None and cfg.fused_tables
+                      and cfg.neg_sharing and cfg.model == "cbow")
+    return Engine(chunk_fn=chunk_fn, u=u, v=v, table=table, sharded=sharded,
+                  fused_mode=fused_mode, seg_cold=seg_cold)
+
+
 def train(cfg: Word2BitsConfig,
           vocab: Optional[Vocab] = None,
           encoded: Optional[np.ndarray] = None,
@@ -99,88 +208,16 @@ def train(cfg: Word2BitsConfig,
         words_done = cwords
         _log(cfg, f"Resumed from {ckpt_path} at epoch {start_epoch}")
 
-    strat_lanes = None
-    dense_hot = None
-    if cfg.neg_stratify:
-        # stratified hot/cold negative draws (see sampling/unigram.py): the
-        # chunk receives the (hot, cold) alias-array pairs through the same
-        # two positional slots as the plain table
-        from word2bits_tpu.sampling.unigram import build_stratified_tables
-        st = build_stratified_tables(vocab.unigram_weights(), cfg.hot_rows)
-        strat_lanes = st.lane_split(cfg.negative)
-        table = AliasTable(prob=(st.hot.prob, st.cold.prob),
-                           alias=(st.hot.alias, st.cold.alias))
-    elif cfg.neg_dense_hot:
-        # dense hot negatives: the chunk's alias slots carry the COLD
-        # stratum's table; hot weights bake into the jit as constants
-        from word2bits_tpu.sampling.unigram import build_stratified_tables
-        if cfg.hot_rows >= V:
-            raise ValueError("-neg-dense-hot needs -hot-rows < vocab size")
-        st = build_stratified_tables(vocab.unigram_weights(), cfg.hot_rows)
-        dense_hot = st.dense_split(cfg.negative)
-        table = st.cold
-    else:
-        table = build_alias_table(vocab.unigram_weights())
-    sharded = None
-    if cfg.mesh_shape:
-        # multi-chip path: vocab-sharded params + data-parallel batch over a
-        # (data, vocab) mesh, scanning S steps per dispatch exactly like the
-        # single-chip chunk (parallel/chunk.py)
-        from word2bits_tpu.parallel.trainer import ShardedTrainer
-        sharded = ShardedTrainer(cfg, V, u, v, dense_hot=dense_hot)
-        chunk_fn = None
-        u = v = None
-    elif cfg.fused_tables and cfg.neg_sharing and cfg.model == "cbow":
-        # interleaved (V, 2D) table path: one scatter covers u + center-v
-        from word2bits_tpu.models.cbow_fused import (
-            deinterleave, interleave, make_fused_train_chunk)
-        fused_fn = make_fused_train_chunk(hyper, V, B, S,
-                                          neg_sharing=cfg.neg_sharing,
-                                          use_pallas=cfg.use_pallas,
-                                          dedup_block=cfg.dedup_block,
-                                          neg_pool=cfg.neg_pool,
-                                          hot_rows=cfg.hot_rows,
-                                          strat_lanes=strat_lanes,
-                                          dense_hot=dense_hot,
-                                          hot_pallas=cfg.hot_pallas,
-                                          banded=cfg.banded_tile)
-        # -hot-rows: the per-segment cold-row compaction map, updated by the
-        # segment loop below (an explicit jit arg; the holder just threads it
-        # through this fixed chunk_fn signature)
-        seg_cold = {"pos": None}
-
-        def chunk_fn(u_, v_, *args):
-            # u_ carries the fused table; v_ is a zero-size sentinel
-            if cfg.hot_rows:
-                table_, loss_ = fused_fn(u_, *args, seg_cold["pos"])
-            else:
-                table_, loss_ = fused_fn(u_, *args)
-            return table_, v_, loss_
-
-        u = interleave(u, v)
-        v = jnp.zeros((0,), u.dtype)
-    elif cfg.model == "skipgram":
-        from word2bits_tpu.models.skipgram import make_skipgram_train_chunk
-        chunk_fn = make_skipgram_train_chunk(hyper, V, B, S,
-                                             neg_sharing=cfg.neg_sharing,
-                                             dedup_block=cfg.dedup_block,
-                                             neg_pool=cfg.neg_pool,
-                                             hot_rows=cfg.hot_rows,
-                                             dense_hot=dense_hot)
-    else:
-        chunk_fn = make_slab_train_chunk(hyper, V, B, S,
-                                         neg_sharing=cfg.neg_sharing,
-                                         use_pallas=cfg.use_pallas,
-                                         dedup_block=cfg.dedup_block,
-                                         neg_pool=cfg.neg_pool,
-                                         banded=cfg.banded_tile)
-
-    fused_mode = bool(sharded is None and cfg.fused_tables
-                      and cfg.neg_sharing and cfg.model == "cbow")
+    engine = build_engine(cfg, vocab, u, v, hyper, B, S)
+    chunk_fn, table = engine.chunk_fn, engine.table
+    sharded, fused_mode = engine.sharded, engine.fused_mode
+    seg_cold = engine.seg_cold
+    u, v = engine.u, engine.v
 
     def _uv(u_, v_):
         """Split params for export/checkpoint (fused mode interleaves)."""
         if fused_mode:
+            from word2bits_tpu.models.cbow_fused import deinterleave
             return deinterleave(u_)
         return u_, v_
 
