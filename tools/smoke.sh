@@ -61,6 +61,10 @@ python -m word2bits_tpu.cli convert sg.bin sg.pack -bitlevel 1 -packed 1
 python -m word2bits_tpu.cli convert sg.pack sg_round.bin -binary 1
 python -m word2bits_tpu.cli accuracy sg_round.bin 0 0 -questions q.txt | tail -2
 
+echo "== tune: throughput auto-tuner (one quick variant pass) =="
+python -m word2bits_tpu.cli tune -train corpus.txt -size 32 -window 3 \
+    -negative 6 -min-count 2 -batch-size 128 -tune-seconds 0.2 | tail -3
+
 echo "== packed storage round-trip =="
 python - <<'EOF'
 from word2bits_tpu.io.packed import read_packed
