@@ -44,8 +44,26 @@ def test_variants_all_validate(tmp_path):
 def test_variants_skipgram_and_mesh_reduced(tmp_path):
     sg = _cfg(tmp_path, model="skipgram")
     assert [n for n, _, _ in variants(sg, V=81)] == ["as-given"]
-    mesh = _cfg(tmp_path, mesh_shape="1x1")
+    mesh = _cfg(tmp_path, mesh_shape={"data": 2, "vocab": 4})
     assert [n for n, _, _ in variants(mesh, V=81)] == ["as-given"]
+
+
+def test_run_tune_mesh(tmp_path, capsys):
+    """Sharded configs must be measurable (engine.sharded path), not crash
+    through the chunk_fn=None branch."""
+    cfg = _cfg(tmp_path, mesh_shape={"data": 2, "vocab": 4})
+    rc = run_tune(cfg, seconds=0.05)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "as-given" in out and "recommended:" in out
+
+
+def test_run_tune_max_variants(tmp_path, capsys):
+    cfg = _cfg(tmp_path)
+    rc = run_tune(cfg, seconds=0.05, max_variants=2)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("M words/sec") == 2
 
 
 def test_run_tune_end_to_end(tmp_path, capsys):

@@ -159,6 +159,7 @@ def main_big():
             ref_cov = prior["ref_cov"]
             t_ref = prior["ref_time"] * n_seeds
         for label, sharing, model, pool, extra in modes:
+            extra = dict(extra)  # pops below must not mutate the mode table
             if (bitlevel, label) in done:
                 continue
             if not ref_accs:

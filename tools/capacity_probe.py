@@ -95,10 +95,12 @@ def main():
                      "generated_code_size_in_bytes"):
             fields[name.replace("_in_bytes", "_gb")] = round(
                 getattr(ma, name, 0) / 1e9, 3)
-        table_gb = V * 2 * D * dtype.itemsize / 1e9
+        table_bytes = V * 2 * D * dtype.itemsize
+        table_gb = table_bytes / 1e9
         # peak live = arguments + temps + (output NOT aliased ? output : 0)
-        aliased = fields["alias_size_in_bytes".replace("_in_bytes", "_gb")] \
-            >= round(table_gb, 3)
+        # compare RAW bytes — GB rounding would call any sub-MB table
+        # "aliased" (0.0 >= 0.0) regardless of what XLA actually did
+        aliased = getattr(ma, "alias_size_in_bytes", 0) >= table_bytes
         peak = (fields["argument_size_gb"] + fields["temp_size_gb"]
                 + (0.0 if aliased else fields["output_size_gb"]))
         print(json.dumps({

@@ -61,9 +61,11 @@ python -m word2bits_tpu.cli convert sg.bin sg.pack -bitlevel 1 -packed 1
 python -m word2bits_tpu.cli convert sg.pack sg_round.bin -binary 1
 python -m word2bits_tpu.cli accuracy sg_round.bin 0 0 -questions q.txt | tail -2
 
-echo "== tune: throughput auto-tuner (one quick variant pass) =="
+echo "== tune: throughput auto-tuner (two variants; more compiles would
+strain the on-device smoke budget at 30-150s per remote compile) =="
 python -m word2bits_tpu.cli tune -train corpus.txt -size 32 -window 3 \
-    -negative 6 -min-count 2 -batch-size 128 -tune-seconds 0.2 | tail -3
+    -negative 6 -min-count 2 -batch-size 128 -tune-seconds 0.2 \
+    -tune-max-variants 2 | tail -3
 
 echo "== packed storage round-trip =="
 python - <<'EOF'

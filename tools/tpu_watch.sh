@@ -22,9 +22,18 @@ for i in $(seq 1 "$MAX"); do
   bash /root/repo/tools/tpu_queue.sh
   if grep -q '"metric"' "$TPU_RUNS_DIR/bench.out" 2>/dev/null; then
     echo "$(date +%H:%M:%S) watch: bench landed — done" >> /tmp/tpu_watch.log
-    # surface the result where earlier tooling expects it
+    # surface results where earlier tooling expects them; walk ALL
+    # iterations oldest->newest and only let NON-EMPTY outputs overwrite,
+    # so a later wedged iteration cannot bury an earlier good measurement
     mkdir -p /tmp/tpu_runs
-    cp "$TPU_RUNS_DIR"/*.out "$TPU_RUNS_DIR"/*.err /tmp/tpu_runs/ 2>/dev/null
+    for d in /tmp/tpu_runs_*; do
+      [ -d "$d" ] || continue
+      for f in "$d"/*.out; do
+        [ -s "$f" ] || continue
+        cp "$f" /tmp/tpu_runs/
+        e="${f%.out}.err"; [ -f "$e" ] && cp "$e" /tmp/tpu_runs/
+      done
+    done
     exit 0
   fi
   echo "$(date +%H:%M:%S) watch: queue ran but bench has no result; re-arming" \

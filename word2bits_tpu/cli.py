@@ -271,22 +271,31 @@ def tune_main(argv=None) -> int:
     """
     _maybe_force_cpu()
     argv = list(sys.argv[1:] if argv is None else argv)
-    seconds, as_json = 4.0, False
-    if "-tune-seconds" in argv:
-        i = argv.index("-tune-seconds")
-        seconds = float(argv[i + 1])
-        argv = argv[:i] + argv[i + 2:]
-    if "-json" in argv:
-        i = argv.index("-json")
-        as_json = bool(int(argv[i + 1]))
-        argv = argv[:i] + argv[i + 2:]
+
+    def take(flag, parse, default):
+        if flag not in argv:
+            return default
+        i = argv.index(flag)
+        if i + 1 >= len(argv):
+            sys.exit(f"Argument missing for {flag}")
+        try:
+            val = parse(argv[i + 1])
+        except ValueError:
+            sys.exit(f"Bad value for {flag}: {argv[i + 1]!r}")
+        del argv[i:i + 2]
+        return val
+
+    seconds = take("-tune-seconds", float, 4.0)
+    as_json = bool(take("-json", int, 0))
+    max_variants = take("-tune-max-variants", int, 0) or None
     cfg = config_from_argv(argv)
     if cfg.train_file is None:
         print("Usage: tune -train FILE [flags...] [-tune-seconds S] "
-              "[-json 1]")
+              "[-tune-max-variants N] [-json 1]")
         return 0
     from word2bits_tpu.tune import run_tune
-    return run_tune(cfg, seconds=seconds, as_json=as_json)
+    return run_tune(cfg, seconds=seconds, as_json=as_json,
+                    max_variants=max_variants)
 
 
 def main() -> int:

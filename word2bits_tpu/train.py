@@ -69,6 +69,17 @@ def prepare(cfg: Word2BitsConfig) -> Tuple[Vocab, np.ndarray]:
     return vocab, encoded
 
 
+def segment_capacity(cfg: Word2BitsConfig, n_tokens: int) -> Tuple[int, int]:
+    """(seg_tokens, capacity): epoch arrays are padded to a fixed capacity
+    so chunk shapes never change; corpora beyond cfg.segment_tokens stream
+    through the device in fixed-size segments (C10).  Shared by train() and
+    tune.measure() so the tuner times exactly the shapes train() runs."""
+    B, S = cfg.batch_size, cfg.steps_per_chunk
+    seg_tokens = min(n_tokens, cfg.segment_tokens) or 1
+    capacity = ((seg_tokens + S * B + 8 + 1023) // 1024) * 1024
+    return seg_tokens, capacity
+
+
 @dataclass
 class Engine:
     """One training engine: the jitted chunk callable plus its state.
@@ -223,11 +234,7 @@ def train(cfg: Word2BitsConfig,
 
     train_words = vocab.train_words
     denom = float(cfg.iter) * train_words + 1.0
-    # epoch arrays are padded to a fixed capacity so chunk shapes never
-    # change; corpora beyond segment_tokens stream through the device in
-    # fixed-size segments (reference-style hard-cut slop at seams, C10)
-    seg_tokens = min(len(encoded), cfg.segment_tokens) or 1
-    capacity = ((seg_tokens + S * B + 8 + 1023) // 1024) * 1024
+    seg_tokens, capacity = segment_capacity(cfg, len(encoded))
     total_len = max(len(encoded), 1)
 
     epoch_losses: List[float] = []

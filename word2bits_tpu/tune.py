@@ -88,6 +88,7 @@ def variants(cfg: Word2BitsConfig, V: int) -> List[Tuple[str, Dict, str]]:
 
 
 def measure(cfg: Word2BitsConfig, vocab, ep, capacity: int,
+            seg_tokens: int, source_len: int,
             seconds: float = 4.0, group: int = 8) -> float:
     """words/sec of cfg's engine on the prepared epoch arrays.
 
@@ -121,7 +122,11 @@ def measure(cfg: Word2BitsConfig, vocab, ep, capacity: int,
     u, v = eng.u, eng.v
 
     n_centers = max(ep.n_tokens, 1)
-    words_per_step = B * vocab.train_words / n_centers
+    # this segment's share of the corpus words (train.py seg_words):
+    # charging full train_words against a truncated segment would inflate
+    # words/sec for corpora beyond segment_tokens
+    seg_words = vocab.train_words * seg_tokens / max(source_len, 1)
+    words_per_step = B * seg_words / n_centers
     max_chunks = max(1, n_centers // (S * B))
 
     def scalars(ci, words_done):
@@ -132,11 +137,20 @@ def measure(cfg: Word2BitsConfig, vocab, ep, capacity: int,
             wca_per_step=jnp.float32(words_per_step),
             denom=jnp.float32(cfg.iter * vocab.train_words + 1.0))
 
+    def call(chunks, words_done, sub):
+        nonlocal u, v
+        if eng.sharded is not None:
+            return eng.sharded.run_chunk(tokens, sents, table.prob,
+                                         table.alias,
+                                         scalars(chunks, words_done), sub)
+        u, v, loss = eng.chunk_fn(u, v, tokens, sents, table.prob,
+                                  table.alias, scalars(chunks, words_done),
+                                  sub)
+        return loss
+
     key = jax.random.PRNGKey(cfg.seed)
     key, sub = jax.random.split(key)
-    u, v, loss = eng.chunk_fn(u, v, tokens, sents, table.prob, table.alias,
-                              scalars(0, 0.0), sub)
-    float(loss)  # compile + warmup barrier
+    float(call(0, 0.0, sub))  # compile + warmup barrier
 
     t0 = time.perf_counter()
     chunks = 0
@@ -144,9 +158,7 @@ def measure(cfg: Word2BitsConfig, vocab, ep, capacity: int,
     while True:
         for _ in range(group):
             key, sub = jax.random.split(key)
-            u, v, loss = eng.chunk_fn(u, v, tokens, sents, table.prob,
-                                      table.alias,
-                                      scalars(chunks, words_done), sub)
+            loss = call(chunks, words_done, sub)
             chunks += 1
             words_done += S * words_per_step
         float(loss)
@@ -156,30 +168,34 @@ def measure(cfg: Word2BitsConfig, vocab, ep, capacity: int,
 
 
 def run_tune(cfg: Word2BitsConfig, seconds: float = 4.0,
-             as_json: bool = False) -> int:
+             as_json: bool = False,
+             max_variants: Optional[int] = None) -> int:
     from word2bits_tpu.data.pipeline import build_epoch_arrays
-    from word2bits_tpu.train import prepare
+    from word2bits_tpu.train import prepare, segment_capacity
 
     vocab, encoded = prepare(cfg)
     V = vocab.size
-    B, S, W = cfg.batch_size, cfg.steps_per_chunk, cfg.window
-    seg_tokens = min(len(encoded), cfg.segment_tokens) or 1
-    capacity = ((seg_tokens + S * B + 8 + 1023) // 1024) * 1024
+    W = cfg.window
+    seg_tokens, capacity = segment_capacity(cfg, len(encoded))
     ep = build_epoch_arrays(encoded[:seg_tokens], vocab.counts, cfg.sample,
                             vocab.train_words, W,
                             np.random.default_rng(cfg.seed),
                             capacity=capacity)
 
+    cands = variants(cfg, V)
+    if max_variants is not None:
+        cands = cands[:max_variants]
     rows = []
     best: Optional[Tuple[str, float, Dict]] = None
-    for name, overlay, note in variants(cfg, V):
+    for name, overlay, note in cands:
         try:
             cfg_v = dataclasses.replace(cfg, **overlay)
         except ValueError as e:
             rows.append(dict(name=name, error=str(e)))
             continue
         try:
-            wps = measure(cfg_v, vocab, ep, capacity, seconds=seconds)
+            wps = measure(cfg_v, vocab, ep, capacity, seg_tokens,
+                          len(encoded), seconds=seconds)
         except Exception as e:  # measure every candidate we can
             rows.append(dict(name=name, error=f"{type(e).__name__}: {e}"))
             continue
