@@ -150,6 +150,38 @@ def main_big():
          dict(fused_tables=True, dtype="bfloat16", batch_size=8192,
               alpha=0.15)),
     ]
+    extend = 0
+    if "--extend" in sys.argv:  # grow every cached row to N seeds
+        extend = int(sys.argv[sys.argv.index("--extend") + 1])
+    if extend:
+        by_label = {m[0]: m for m in modes}
+        for bitlevel in sorted({r["bitlevel"] for r in rows}):
+            brows = [r for r in rows if r["bitlevel"] == bitlevel]
+            ref_accs = list(brows[0]["ref_accs"])
+            for s in range(len(ref_accs), extend):
+                ref_out = f"/tmp/parity_big_ref_b{bitlevel}_{s}.bin"
+                run_reference(exe, corpus, ref_out, bitlevel, iters)
+                acc, _ = evaluate(ref_out, questions)
+                ref_accs.append(acc)
+                print(f"ref b{bitlevel} seed{s}: {acc:.1f}", flush=True)
+            for r in brows:
+                r["ref_accs"] = ref_accs
+                label, sharing, model, pool, extra = by_label[r["mode"]]
+                extra = dict(extra)
+                bsz = extra.pop("batch_size", 512)
+                for s in range(len(r["our_accs"]), extend):
+                    out = f"/tmp/parity_big_ours_b{bitlevel}_{label}_{s}.bin"
+                    run_ours(corpus, out, bitlevel, iters, sharing,
+                             seed=s + 1, model=model, neg_pool=pool,
+                             batch_size=bsz, **extra)
+                    acc, _ = evaluate(out, questions)
+                    r["our_accs"].append(acc)
+                    print(f"ours b{bitlevel} {label} seed{s}: {acc:.1f}",
+                          flush=True)
+        with open(rows_path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
     for bitlevel in (1,):
         ref_accs, t_ref = [], 0.0
         ref_cov = 100.0
