@@ -19,7 +19,7 @@ import numpy as np
 
 from word2bits_tpu.utils.lcg import lcg_uniform_block
 
-_BLOCK = 1 << 22  # 4M values per host block
+_BLOCK = 1 << 24  # 16M values per host block (128 MB of u64 lane states)
 
 
 def _lcg_matrix(start_draw: int, rows: int, cols: int) -> np.ndarray:

@@ -66,17 +66,43 @@ def lcg_states_at(ks: np.ndarray, seed: int = 1) -> np.ndarray:
         return np.uint64(accA * np.uint64(seed) + accC)
 
 
+_LANE_BITS = 16           # 65536 lanes: f^65536 is _POW tables entry 16
+_LANES = 1 << _LANE_BITS
+
+
 def lcg_uniform_block(start_draw: int, n: int, seed: int = 1) -> np.ndarray:
     """The reference init stream: values for draws [start_draw, start_draw+n).
 
     Draw i (0-based) is produced by the state after (i+1) LCG steps from
     `seed`; the value is ((state & 0xFFFF) / 65536) - 0.5, float32
     (reference src/word2bits.cpp:350-360).
+
+    Contiguous draws are generated lane-strided: one O(64) skip-ahead for
+    the _LANES lane heads, then each row of _LANES states advances by the
+    precomputed affine f^_LANES — 2 vector ops per _LANES draws instead of
+    the ~64 masked passes per draw of per-element skip-ahead (the
+    per-element path made 3.7M x 800d reference init take ~an hour; this is
+    ~2 element-ops per draw, seconds at that scale).  Bit-exact: composes
+    the same affine maps, asserted against the scalar oracle in
+    tests/test_lcg.py.
     """
-    ks = np.arange(start_draw + 1, start_draw + n + 1, dtype=np.uint64)
-    states = lcg_states_at(ks, seed=seed)
-    return ((states & np.uint64(0xFFFF)).astype(np.float32) / np.float32(65536.0)
-            - np.float32(0.5))
+    if n <= 0:
+        return np.empty(0, dtype=np.float32)
+    heads = lcg_states_at(
+        np.arange(start_draw + 1, start_draw + 1 + _LANES, dtype=np.uint64),
+        seed=seed)
+    rows = -(-n // _LANES)
+    states = np.empty((rows, _LANES), dtype=np.uint64)
+    aW, cW = _POW_A[_LANE_BITS], _POW_C[_LANE_BITS]
+    cur = heads
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            states[r] = cur
+            if r + 1 < rows:
+                cur = aW * cur + cW
+    flat = states.reshape(-1)[:n]
+    return ((flat & np.uint64(0xFFFF)).astype(np.float32)
+            / np.float32(65536.0) - np.float32(0.5))
 
 
 def lcg_values_scalar(n: int, seed: int = 1) -> np.ndarray:
