@@ -36,3 +36,21 @@ def test_values_in_range():
     assert vals.max() < 0.5
     # Mean of uniform(-0.5, 0.5) ~ 0
     assert abs(vals.mean()) < 0.01
+
+
+def test_native_fill_equals_numpy_lane_path():
+    """lcg_uniform_block dispatches to the native w2b_lcg_fill when built;
+    both implementations must produce the identical stream (the numpy
+    lane-strided path is itself oracle-checked above)."""
+    from word2bits_tpu import native
+    import word2bits_tpu.utils.lcg as L
+    if native.lib is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    # cross a lane boundary and a thread-chunk boundary shape
+    for start, n in ((0, 5), (65_530, 200), (1_000_003, 70_000)):
+        nat = native.lib.lcg_fill(start, n)
+        ks = np.arange(start + 1, start + n + 1, dtype=np.uint64)
+        ref = ((L.lcg_states_at(ks) & np.uint64(0xFFFF)).astype(np.float32)
+               / np.float32(65536.0) - np.float32(0.5))
+        np.testing.assert_array_equal(nat, ref)

@@ -34,6 +34,10 @@ class _NativeLib:
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_int64]
+        self._lib.w2b_lcg_fill.restype = ctypes.c_int64
+        self._lib.w2b_lcg_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
 
     def count_words(self, path: str) -> Optional[Dict[str, int]]:
         with tempfile.NamedTemporaryFile(suffix=".counts", delete=False) as tf:
@@ -71,6 +75,17 @@ class _NativeLib:
             os.unlink(vocab_path)
             os.unlink(out)
 
+    def lcg_fill(self, start_draw: int, n: int,
+                 seed: int = 1) -> Optional[np.ndarray]:
+        """Reference-init LCG draws [start_draw, start_draw+n) as float32
+        (utils/lcg.lcg_uniform_block fast path)."""
+        out = np.empty(n, np.float32)
+        try:
+            rc = self._lib.w2b_lcg_fill(start_draw, n, seed, out)
+        except Exception:
+            return None
+        return out if rc == n else None
+
     def alias_build(self, scaled: np.ndarray):
         """Walker construction from mean-1 scaled weights; returns
         (prob float64 [V], alias int64 [V]) or None on failure.
@@ -90,8 +105,8 @@ def _build() -> Optional[_NativeLib]:
                                    < os.path.getmtime(_SRC)):
         try:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-                 "-o", _SO],
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 _SRC, "-o", _SO],
                 check=True, capture_output=True, timeout=300)
         except Exception:
             return None

@@ -88,6 +88,14 @@ def lcg_uniform_block(start_draw: int, n: int, seed: int = 1) -> np.ndarray:
     """
     if n <= 0:
         return np.empty(0, dtype=np.float32)
+    try:  # native sequential fill (~1 ns/draw, threaded) when available
+        from word2bits_tpu import native
+        if native.lib is not None:
+            out = native.lib.lcg_fill(int(start_draw), int(n), int(seed))
+            if out is not None:
+                return out
+    except Exception:
+        pass
     heads = lcg_states_at(
         np.arange(start_draw + 1, start_draw + 1 + _LANES, dtype=np.uint64),
         seed=seed)
