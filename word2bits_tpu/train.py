@@ -204,6 +204,17 @@ def train(cfg: Word2BitsConfig,
                       negative=cfg.negative, reg=cfg.reg)
 
     dtype = jnp.dtype(cfg.dtype)
+    tables_gb = 2 * V * D * dtype.itemsize / 1e9
+    if S > 1 and not cfg.mesh_shape and tables_gb * 2 > 12.0:
+        # lax.scan double-buffers the carried tables (peak ~= 2x tables +
+        # temps; the measured single-chip OOM wall is ~8 GB of tables on a
+        # 16 GB v5e — ARCHITECTURE.md capacity table).  The per-step donated
+        # path keeps peak at 1x tables (tools/capacity_probe.py --analyze).
+        _log(cfg, f"WARNING: tables are {tables_gb:.1f} GB; the scan path "
+                  f"(steps_per_chunk={S}) double-buffers them and will "
+                  "likely OOM one chip.  Use -steps-per-chunk 1 (donated "
+                  "per-step path), -dtype bfloat16, or -mesh-shape to "
+                  "vocab-shard.")
     u, v = init_params(V, D, init=cfg.init, seed=cfg.seed, dtype=dtype)
 
     key = jax.random.PRNGKey(cfg.seed)
