@@ -56,6 +56,8 @@ def main():
         lines.append("")
 
     for name, title in [("scatter_bench", "scatter_bench"),
+                        ("capacity_3.7M_analyze",
+                         "capacity 3.7M buffer report (compile-only)"),
                         ("capacity_3.7M", "capacity 3.7M x 800d"),
                         ("capacity_3.7M_dense", "capacity 3.7M dense-hot"),
                         ("bench", "bench.py (driver headline)"),
