@@ -43,9 +43,21 @@ def test_variants_all_validate(tmp_path):
 
 def test_variants_skipgram_and_mesh_reduced(tmp_path):
     sg = _cfg(tmp_path, model="skipgram")
-    assert [n for n, _, _ in variants(sg, V=81)] == ["as-given"]
+    names = [n for n, _, _ in variants(sg, V=81)]
+    assert names == ["as-given", "dense-hot", "bf16"]
+    for _, overlay, _ in variants(sg, V=81):
+        dataclasses.replace(sg, **overlay)
     mesh = _cfg(tmp_path, mesh_shape={"data": 2, "vocab": 4})
     assert [n for n, _, _ in variants(mesh, V=81)] == ["as-given"]
+
+
+def test_run_tune_skipgram(tmp_path, capsys):
+    cfg = _cfg(tmp_path, model="skipgram")
+    rc = run_tune(cfg, seconds=0.05)
+    out = capsys.readouterr().out
+    assert rc == 0 and "recommended:" in out
+    measured = out.count("M words/sec")
+    assert measured >= 2  # as-given + at least one overlay must measure
 
 
 def test_run_tune_mesh(tmp_path, capsys):

@@ -55,9 +55,20 @@ def _flags(overlay: Dict) -> str:
 def variants(cfg: Word2BitsConfig, V: int) -> List[Tuple[str, Dict, str]]:
     """(name, overlay, quality-note) candidates valid for cfg and V."""
     out = [("as-given", {}, "your flags unchanged")]
-    if cfg.model != "cbow" or cfg.mesh_shape:
-        # skip-gram / multi-chip: the overlays below target the single-chip
-        # fused CBOW path; measure as-given only
+    if cfg.mesh_shape:
+        return out  # mesh overlays not offered; measure the config as-is
+    hot_sg = max(64, min(2048, V // 8))
+    hot_sg = min(hot_sg, V - 1)
+    if cfg.model == "skipgram":
+        if hot_sg > 0 and not cfg.neg_dense_hot:
+            out.append(("dense-hot", dict(hot_rows=hot_sg,
+                                          neg_dense_hot=True),
+                        "exact hot-negative expectation (at/above sampled "
+                        "quality)"))
+        if cfg.dtype == "float32":
+            out.append(("bf16", dict(dtype="bfloat16"),
+                        "bf16 backing store (validated at/above f32 "
+                        "convergence)"))
         return out
     B = cfg.batch_size
     G = cfg.neg_sharing or max(
