@@ -51,10 +51,13 @@ def test_hot_rows_same_trajectory(tmp_path):
     params vs the plain fused path (same key stream; summation order only)."""
     corpus = str(tmp_path / "c.txt")
     _make_corpus(corpus, n_sentences=80)
+    # pin one epoch pipeline: hot_rows auto-disables device_epoch (host
+    # cold positions), so a like-for-like trajectory needs the host path
+    # on both sides
     base = dict(train_file=corpus, output_file=str(tmp_path / "o"),
                 bitlevel=1, size=8, window=2, negative=4, iter=2, min_count=1,
                 batch_size=16, steps_per_chunk=4, neg_sharing=8,
-                fused_tables=True, debug=0)
+                fused_tables=True, debug=0, device_epoch=False)
     r_plain = train(Word2BitsConfig(**base))
     r_hot = train(Word2BitsConfig(hot_rows=6, **base))
     np.testing.assert_allclose(r_hot.u, r_plain.u, atol=1e-5)

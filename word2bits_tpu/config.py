@@ -151,12 +151,17 @@ class Word2BitsConfig:
     segment_tokens: int = 1 << 28
     # Build epoch arrays (subsample + compact + sentence ids) ON DEVICE
     # (data/device_pipeline.py): the encoded corpus uploads once and per-epoch
-    # prep is a single jitted pass instead of a host numpy rebuild (~1 min per
-    # epoch at full-Wikipedia scale).  Applies to the single-segment,
+    # prep is a single jitted pass instead of a host numpy rebuild (the host
+    # pass takes ~10s per 17M-token epoch — 5x+ the time the chip needs to
+    # CONSUME the epoch at bench throughput, so the host pipeline is the
+    # end-to-end bottleneck on TPU).  Applies to the single-segment,
     # single-chip path; streamed segments and the sharded trainer keep the
     # host pipeline.  Subsample draws come from threefry instead of the host
     # Generator (same distribution, different stream — C9-style divergence).
-    device_epoch: bool = False
+    # Default None = AUTO: on unless the config needs host-precomputed cold
+    # positions (-hot-rows without -neg-dense-hot) or a mesh; pass 0/1 to
+    # force.
+    device_epoch: Optional[bool] = None
     seed: int = 1
     init: str = "reference"    # "reference" (exact LCG parity) or "uniform"
     # Batch-aware LR auto-scaling. `alpha` is specified in the reference's
@@ -316,6 +321,19 @@ class Word2BitsConfig:
             raise ValueError(f"init must be 'reference' or 'uniform', got {self.init!r}")
         if self.model not in ("cbow", "skipgram"):
             raise ValueError(f"model must be 'cbow' or 'skipgram', got {self.model!r}")
+
+    @property
+    def device_epoch_on(self) -> bool:
+        """Resolved -device-epoch: AUTO (None) turns it on unless the
+        config needs host-precomputed cold positions (-hot-rows without
+        -neg-dense-hot) or runs on a mesh.  The RAW field keeps the None
+        sentinel so dataclasses.replace derivatives re-resolve (an
+        explicit 0/1 survives replace unchanged, and the validation above
+        rejects only an EXPLICIT 1 against hot_rows)."""
+        if self.device_epoch is None:
+            return not (self.mesh_shape
+                        or (self.hot_rows and not self.neg_dense_hot))
+        return bool(self.device_epoch)
 
     @property
     def lr_scale(self) -> float:

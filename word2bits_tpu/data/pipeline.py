@@ -179,8 +179,13 @@ def build_epoch_arrays(encoded: np.ndarray, counts: np.ndarray, sample: float,
         sub = pos_in_sent // MAX_SENTENCE_LENGTH
         # combine (sentence, sub) into a single increasing id
         combo = sent_of_tok * ( (pos_in_sent.max() // MAX_SENTENCE_LENGTH) + 2 ) + sub
-        _, sent_final = np.unique(combo, return_inverse=True)
-        sent_final = sent_final.astype(np.int32)
+        # combo is NONDECREASING in token order (sent ids come from a
+        # cumsum; sub only grows within a sentence), so consecutive
+        # group-ranking == np.unique(..., return_inverse=True) at a
+        # fraction of the cost (unique sorts: ~7 s of a 17M-token epoch)
+        sent_final = np.cumsum(
+            np.concatenate([[0], (combo[1:] != combo[:-1]).astype(np.int32)]),
+            dtype=np.int32)
     else:
         sent_final = np.zeros(0, dtype=np.int32)
 

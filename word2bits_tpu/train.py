@@ -255,7 +255,7 @@ def train(cfg: Word2BitsConfig,
     # device-side epoch preparation (-device-epoch 1): upload the encoded
     # corpus once; per-epoch subsample+compact+sentence-id runs as one jitted
     # pass (data/device_pipeline.py).  Single-segment single-chip path only.
-    use_device_epoch = bool(cfg.device_epoch and sharded is None
+    use_device_epoch = bool(cfg.device_epoch_on and sharded is None
                             and len(encoded) <= seg_tokens)
     if use_device_epoch:
         from word2bits_tpu.data.device_pipeline import \
