@@ -58,16 +58,22 @@ CFG = dict(bitlevel=1, size=200, window=8, negative=24, min_count=5,
            hot_rows=0, neg_mode="sample",  # "sample" | "dense_hot"
            banded=0)
 # Quality-safe step variants adjudicated by the child at bench time (the
-# round-2 scatter/negative/windowed redesigns; each is proven update- or
-# expectation-equal to the base step — see ARCHITECTURE.md).  Base runs
-# first and its result is published immediately; each later variant only
-# replaces it if faster, so a tunnel re-wedge mid-adjudication can only
-# cost upside, never the round's number.
+# round-2 scatter/windowed redesigns).  STRICTLY update-equal only: hot
+# restructures the scatter (same updates), banded changes float summation
+# order — so the headline needs no quality argument beyond the base
+# config's own (docs/acceptance_benchcfg.md).  dense-hot is deliberately
+# NOT in this set: it changes the estimator, and the direct text8-scale
+# test at this exact shape measured it below base (acceptance_benchcfg
+# densehot row) — it remains a per-config quality/throughput trade
+# (-neg-dense-hot, cli tune).  Base runs first and its result is published
+# immediately; each later variant only replaces it if faster, so a tunnel
+# re-wedge mid-adjudication can only cost upside, never the round's
+# number.
 VARIANTS = [
     dict(name="base"),
     dict(name="hot2048", hot_rows=2048),
-    dict(name="dense_hot2048", hot_rows=2048, neg_mode="dense_hot"),
     dict(name="banded256", banded=256),
+    dict(name="hot2048_banded256", hot_rows=2048, banded=256),
 ]
 BENCH_SECONDS = 8.0       # per-variant timed window
 CHILD_BUDGET = 440.0      # stop starting variants near the supervisor limit

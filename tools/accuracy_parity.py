@@ -149,6 +149,11 @@ def main_big():
         ("bench-8192-64-a0.15", 64, "cbow", 1,
          dict(fused_tables=True, dtype="bfloat16", batch_size=8192,
               alpha=0.15)),
+        # the dense-hot candidate bench.py adjudicates (hot head scaled to
+        # this corpus's 541-word vocab; the bench corpus uses 2048 of 70k)
+        ("bench-8192-64-densehot", 64, "cbow", 1,
+         dict(fused_tables=True, dtype="bfloat16", batch_size=8192,
+              hot_rows=256, neg_dense_hot=True)),
     ]
     extend = 0
     if "--extend" in sys.argv:  # grow every cached row to N seeds
@@ -245,7 +250,13 @@ def main_big():
             "large-batch term — the shipped default (row 1) is the "
             "supported configuration, and its at/above verdict is the "
             "direct text8-scale evidence for bench.py's quality-safe "
-            "claim (VERDICT-r1 weak #6).\n")
+            "claim (VERDICT-r1 weak #6).\n"
+            "\nThe densehot row measures BELOW base at this shape (this "
+            "corpus's 541-word vocab makes hot_rows=256 cover nearly the "
+            "whole negative mass — a degenerate regime for the estimator), "
+            "which is why bench.py's adjudication set is restricted to "
+            "update-equal variants and dense-hot stays an opt-in trade "
+            "verified per-corpus (cli tune).\n")
         seeds_used = max(len(r["our_accs"]) for r in rows) if rows else 0
         f.write(f"\nGenerated {time.strftime('%Y-%m-%d %H:%M')} by "
                 f"tools/accuracy_parity.py --big (seeds={seeds_used}).\n")

@@ -63,8 +63,8 @@ def variants(cfg: Word2BitsConfig, V: int) -> List[Tuple[str, Dict, str]]:
         if hot_sg > 0 and not cfg.neg_dense_hot:
             out.append(("dense-hot", dict(hot_rows=hot_sg,
                                           neg_dense_hot=True),
-                        "exact hot-negative expectation (at/above sampled "
-                        "quality)"))
+                        "estimator change: verify quality on your corpus "
+                        "(shape-dependent; see ACCEPTANCE.md)"))
         if cfg.dtype == "float32":
             out.append(("bf16", dict(dtype="bfloat16"),
                         "bf16 backing store (validated at/above f32 "
@@ -85,8 +85,9 @@ def variants(cfg: Word2BitsConfig, V: int) -> List[Tuple[str, Dict, str]]:
                     "same updates, scatter restructured"))
         out.append(("dense-hot", dict(fused, hot_rows=hot,
                                       neg_dense_hot=True),
-                    "exact hot-negative expectation (at/above sampled "
-                    "quality)"))
+                    "estimator change: quality is shape-dependent "
+                    "(above sampled at reference-default shapes, below at "
+                    "B=8192 text8-scale — verify on your corpus)"))
     bt = next((t for t in (256, 128) if B % t == 0), 0)
     if bt:
         out.append(("banded", dict(fused, banded_tile=bt),
