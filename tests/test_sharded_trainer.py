@@ -63,3 +63,32 @@ def test_sharded_dense_hot_end_to_end(tmp_path):
     words, vecs = read_vectors(out)
     third = np.float32(1.0) / np.float32(3.0)
     assert set(np.unique(vecs)) <= {third, -third}
+
+
+def test_cli_mesh_train_end_to_end(tmp_path, capsys):
+    """The full CLI surface with -mesh-shape: flag parse -> ShardedTrainer
+    -> epochs -> vector write, on the 8-virtual-device CPU mesh."""
+    import numpy as np
+
+    from word2bits_tpu.cli import train_main
+    from word2bits_tpu.io.vectors import read_vectors
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(60)]
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("\n".join(
+        " ".join(words[rng.integers(60)] for _ in range(10))
+        for _ in range(400)) + "\n")
+    out = tmp_path / "vec.bin"
+    rc = train_main([
+        "-train", str(corpus), "-output", str(out), "-binary", "1",
+        "-size", "16", "-window", "3", "-negative", "5", "-iter", "2",
+        "-min-count", "1", "-bitlevel", "1", "-batch-size", "64",
+        "-steps-per-chunk", "2", "-neg-sharing", "16",
+        "-mesh-shape", "data=2,vocab=4", "-debug", "1"])
+    assert rc == 0
+    assert "Epoch Loss:" in capsys.readouterr().out
+    ws, vecs = read_vectors(str(out))
+    assert len(ws) == 61  # </s> + 60 words
+    # bitlevel-1 rows quantize to +-1/3
+    np.testing.assert_allclose(np.unique(np.abs(vecs)), 1.0 / 3, rtol=1e-6)
