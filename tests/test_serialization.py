@@ -89,3 +89,33 @@ def test_gzip_text_vectors(tmp_path):
     words, got = read_vectors(gz)
     assert words == WORDS
     np.testing.assert_allclose(got, vecs, atol=1e-6)
+
+
+def test_corrupt_inputs_raise_not_garbage(tmp_path):
+    """Truncated/garbage vector files must raise (any exception beats
+    silently returning wrong rows); pins the failure MODE, not message."""
+    import numpy as np
+    import pytest
+
+    from word2bits_tpu.io.packed import read_packed, write_packed
+    from word2bits_tpu.io.vectors import read_vectors, write_vectors
+
+    rows = np.ones((3, 4), np.float32) / 3
+    b = tmp_path / "v.bin"
+    write_vectors(str(b), ["a", "b", "c"], rows, binary=True)
+    data = b.read_bytes()
+    b.write_bytes(data[: len(data) // 2])
+    with pytest.raises(Exception):
+        read_vectors(str(b))
+
+    g = tmp_path / "g.bin"
+    g.write_bytes(b"not a header at all\x00\xff")
+    with pytest.raises(Exception):
+        read_vectors(str(g))
+
+    p = tmp_path / "v.pack"
+    write_packed(str(p), ["a", "b", "c"], rows, 1)
+    data = p.read_bytes()
+    p.write_bytes(data[:-3])
+    with pytest.raises(Exception):
+        read_packed(str(p))
