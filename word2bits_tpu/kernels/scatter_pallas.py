@@ -3,28 +3,49 @@
 The training step's cost floor is the parameter scatter-add
 (reference's equivalent: the racy RMW updates at src/word2bits.cpp:489-503);
 XLA serializes duplicate-safe scatters at ~50 ns/row (ARCHITECTURE.md
-ablation).  This kernel attacks the floor directly:
+ablation) AND — decisive for capacity — XLA:TPU copy-insertion NEVER runs
+`table.at[ids].add(rows)` in place on this backend, even with donation: the
+donated argument aliases the output, but the program still materializes a
+full table-sized `copy(table)` HLO temp (measured: tools/alias_exp2.py,
+2026-08-19 — every scatter formulation pays it; `dynamic_update_slice` and
+Pallas custom calls with input_output_aliases do not).  At 3.7M x 800d bf16
+that copy is an 11.5 GB temp and the compile OOMs a 16 GB chip.
 
-  1. ids are deduplicated in XLA first (ops.scatter._combine_block — an MXU
-     mask-matmul per block; duplicate slots become an out-of-range sentinel),
-     so every surviving row id in a block is unique and RMWs within a block
-     are independent;
-  2. the (padded) ids ride to the kernel as a scalar-prefetch operand in
-     SMEM, available before the body runs, so row DMAs can be issued from
+This kernel attacks both problems:
+
+  1. updates are regrouped to 8-ROW-GROUP granularity: Mosaic requires HBM
+     DMA slices aligned to the (8, 128) tile ("Slice shape along dimension 0
+     must be aligned to tiling (8), but is 1"), so single-row RMW is not
+     expressible — instead the [V, C] table is viewed as [V/8, 8, C] (a
+     layout-preserving bitcast; aliasing survives it, proven by
+     tools/alias_exp4.py on the v5e) and each chain moves one 8-row group;
+  2. each update row is pre-placed at its in-group offset (one-hot expand to
+     [N, 8, C]), and ids are deduplicated BY GROUP in XLA first
+     (ops.scatter._combine_block on gid = id >> 3 — an MXU mask-matmul per
+     block; duplicate slots become an out-of-range sentinel).  Group-level
+     uniqueness within a block makes concurrent RMW chains race-free, and
+     same-id AND same-group-different-id duplicates both combine correctly
+     because the combine sums the group-layout rows;
+  3. the (padded) gids ride to the kernel as a scalar-prefetch operand in
+     SMEM, available before the body runs, so group DMAs can be issued from
      scalar code;
-  3. the kernel keeps `slots` concurrent RMW chains in flight: row r's chain
-     is  read DMA table[id_r] -> VMEM slot, add the update row (VPU),
-     write DMA slot -> table[id_r].  Chains on different slots overlap, so
-     HBM row latency is paid once per `slots` rows instead of once per row;
-  4. the grid walks blocks sequentially (TPU grids are sequential) and every
+  4. the kernel keeps `slots` concurrent RMW chains in flight: group g's
+     chain is  read DMA table[g] -> VMEM slot, add the update group (VPU),
+     write DMA slot -> table[g].  Chains on different slots overlap, so HBM
+     group latency is paid once per `slots` groups instead of once per group;
+  5. the grid walks blocks sequentially (TPU grids are sequential) and every
      write is awaited before the block ends, so cross-block duplicates
-     accumulate through memory exactly like the serialized baseline.
+     accumulate through memory exactly like the serialized baseline;
+  6. sentinel/OOB gids are SKIPPED in-kernel (predicated start/wait pairs) —
+     the table is NOT padded with a dead row, because padding would
+     materialize a (V+1)-row copy and reintroduce the 2x-table peak this
+     kernel exists to avoid (docs/large_vocab.md).
 
 The table never moves: it stays in HBM (memory_space=ANY) and is aliased
 input->output, so the kernel is a true in-place update like the reference's.
 
 Same sums as `table.at[ids].add(rows)` modulo float summation order (the
-dedup combine sums duplicates in f32 before the table-dtype add).
+group combine sums duplicates in f32 before the table-dtype add).
 """
 
 from __future__ import annotations
@@ -37,26 +58,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rmw_kernel(block: int, slots: int, vpad: int,
-                ids_ref, rows_ref, table_ref, out_ref,
+def _rmw_kernel(block: int, slots: int, ngroups: int,
+                gids_ref, rows_ref, table_ref, out_ref,
                 acc_ref, rsem, wsem):
-    """One grid step: scatter `block` unique-id rows into the HBM table.
+    """One grid step: RMW `block` unique-group g-row updates into the table
+    (g = the dtype's sublane tile: 8 rows for f32, 16 for bf16).
 
-    ids_ref:   SMEM [nb*block] int32 (scalar prefetch), OOB sentinel = vpad
-    rows_ref:  VMEM [block, C] update rows for this block
-    table_ref: HBM  [vpad+1, C] aliased in/out (out_ref is the same buffer)
-    acc_ref:   VMEM [slots, C] RMW staging slots
+    gids_ref:  SMEM [nb*block] int32 group ids (scalar prefetch); gids >=
+               ngroups are padding/dedup sentinels and their chains are
+               skipped entirely (no DMA issued)
+    rows_ref:  VMEM [block, g, C] update groups for this block
+    table_ref: HBM  [ngroups, g, C] aliased in/out (out_ref = same buffer)
+    acc_ref:   VMEM [slots, g, C] RMW staging slots
     rsem/wsem: DMA semaphore arrays [slots]
+
+    Every start/wait pair is guarded by the SAME gid-validity predicate, so
+    skipped chains never leave a dangling semaphore.
     """
     del table_ref  # aliased: all access goes through out_ref
     base = pl.program_id(0) * block
 
     def read(i, slot):
-        # OOB ids point at the dead row vpad: harmless read/write target,
-        # keeps the pipeline branch-free.
-        pltpu.make_async_copy(
-            out_ref.at[ids_ref[base + i]], acc_ref.at[slot], rsem.at[slot]
-        ).start()
+        @pl.when(gids_ref[base + i] < ngroups)
+        def _():
+            pltpu.make_async_copy(
+                out_ref.at[gids_ref[base + i]], acc_ref.at[slot],
+                rsem.at[slot]
+            ).start()
 
     # prologue: fill the pipeline
     for s in range(slots):
@@ -64,20 +92,29 @@ def _rmw_kernel(block: int, slots: int, vpad: int,
 
     def body(i, _):
         slot = jax.lax.rem(i, slots)
-        pltpu.make_async_copy(
-            out_ref.at[ids_ref[base + i]], acc_ref.at[slot], rsem.at[slot]
-        ).wait()
-        acc_ref[slot, :] = acc_ref[slot, :] + rows_ref[i, :]
-        pltpu.make_async_copy(
-            acc_ref.at[slot], out_ref.at[ids_ref[base + i]], wsem.at[slot]
-        ).start()
+        ok = gids_ref[base + i] < ngroups
+
+        @pl.when(ok)
+        def _():
+            pltpu.make_async_copy(
+                out_ref.at[gids_ref[base + i]], acc_ref.at[slot],
+                rsem.at[slot]
+            ).wait()
+            acc_ref[slot] = acc_ref[slot] + rows_ref[i]
+            pltpu.make_async_copy(
+                acc_ref.at[slot], out_ref.at[gids_ref[base + i]],
+                wsem.at[slot]
+            ).start()
 
         # refill the slot with row i+slots once our write retires
         @pl.when(i + slots < block)
         def _():
-            pltpu.make_async_copy(
-                acc_ref.at[slot], out_ref.at[ids_ref[base + i]], wsem.at[slot]
-            ).wait()
+            @pl.when(ok)
+            def _():
+                pltpu.make_async_copy(
+                    acc_ref.at[slot], out_ref.at[gids_ref[base + i]],
+                    wsem.at[slot]
+                ).wait()
             read(i + slots, slot)
 
         return 0
@@ -88,89 +125,147 @@ def _rmw_kernel(block: int, slots: int, vpad: int,
     # (cross-block duplicates) and before pallas_call returns.
     def drain(i, _):
         slot = jax.lax.rem(jnp.int32(block) + i, jnp.int32(slots))
-        pltpu.make_async_copy(
-            acc_ref.at[slot],
-            out_ref.at[ids_ref[base + block - slots + i]],
-            wsem.at[slot],
-        ).wait()
+        idx = base + block - slots + i
+
+        @pl.when(gids_ref[idx] < ngroups)
+        def _():
+            pltpu.make_async_copy(
+                acc_ref.at[slot], out_ref.at[gids_ref[idx]], wsem.at[slot]
+            ).wait()
         return 0
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(min(slots, block)), drain, 0)
 
 
+def group_rows(dtype) -> int:
+    """Sublane-tile row count for `dtype` on TPU: (8, 128) tiles for f32,
+    (16, 128) for bf16, (32, 128) for int8 — HBM DMA slices must align to
+    it, so the RMW granularity is one such group."""
+    return 32 // jnp.dtype(dtype).itemsize
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _scatter_rmw(table_pad, ids, rows, block: int, slots: int,
+def _scatter_rmw(table, gids, rows8, block: int, slots: int,
                  interpret: bool):
-    nb = ids.shape[0] // block
-    vpad = table_pad.shape[0] - 1
-    kernel = functools.partial(_rmw_kernel, block, slots, vpad)
+    """table [V, C] (V % g == 0) += group-layout rows8 [N, g, C] at gids."""
+    nb = gids.shape[0] // block
+    V, C = table.shape
+    grp = group_rows(table.dtype)
+    ngroups = V // grp
+    kernel = functools.partial(_rmw_kernel, block, slots, ngroups)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((block, rows.shape[1]), lambda b, ids: (b, 0),
+            pl.BlockSpec((block, grp, C), lambda b, gids: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),      # table stays in HBM
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((slots, rows.shape[1]), table_pad.dtype),
+            pltpu.VMEM((slots, grp, C), table.dtype),
             pltpu.SemaphoreType.DMA((slots,)),
             pltpu.SemaphoreType.DMA((slots,)),
         ],
     )
-    return pl.pallas_call(
+    t3 = table.reshape(ngroups, grp, C)   # layout-preserving bitcast
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(table_pad.shape, table_pad.dtype),
-        input_output_aliases={2: 0},   # args: (ids, rows, table) -> table
+        out_shape=jax.ShapeDtypeStruct(t3.shape, t3.dtype),
+        input_output_aliases={2: 0},   # args: (gids, rows8, table) -> table
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(ids, rows.astype(table_pad.dtype), table_pad)
+    )(gids, rows8.astype(table.dtype), t3)
+    return out.reshape(V, C)
 
 
-def scatter_add_rmw(table, ids, rows, block: int = 1024, slots: int = 32,
+def scatter_add_rmw(table, ids, rows, block: int = 512, slots: int = 32,
                     interpret: bool | None = None):
-    """table.at[ids].add(rows) via the pipelined Pallas RMW kernel.
+    """table.at[ids].add(rows) via the pipelined Pallas group-RMW kernel.
 
-    table [V, C]; ids [N] int32 in [0, V) (or the OOB sentinel of
-    ops.scatter); rows [N, C].  The MXU duplicate combine
-    (ops.scatter._combine_block) runs first at the kernel block size —
-    uniqueness WITHIN a block is a correctness requirement (concurrent RMW
-    chains on the same id would race), and the block boundary is the only
-    cross-chain ordering point.  One dead row is appended to the table as
-    the target of OOB/padding slots and stripped on return (concurrent
-    chains do race on it; its value is never read back).
+    table [V, C] with V % 8 == 0 (Mosaic's HBM tile constraint — pad the
+    table at allocation for arbitrary vocab; see docs/large_vocab.md);
+    ids [N] int32 in [0, V) (or the OOB sentinel of ops.scatter); rows
+    [N, C].  The MXU duplicate combine (ops.scatter._combine_block) runs
+    first at the kernel block size ON GROUP IDS over group-layout rows —
+    group uniqueness WITHIN a block is a correctness requirement
+    (concurrent RMW chains on the same 8-row group would race), and the
+    block boundary is the only cross-chain ordering point.
+    OOB/padding/dedup-sentinel slots (gid >= V/8) are skipped inside the
+    kernel (predicated start/wait pairs), so the table buffer passes
+    through UNPADDED and fully aliased — peak HBM is one table, which is
+    what makes this kernel the capacity path for vocab sizes where XLA's
+    scatter copy-inserts a second table (docs/large_vocab.md).
     """
     from word2bits_tpu.ops.scatter import _combine_block
 
     N, C = rows.shape
     V = table.shape[0]
+    grp = group_rows(table.dtype)
+    shift = grp.bit_length() - 1
+    if V % grp:
+        raise ValueError(
+            f"scatter_add_rmw requires table rows % {grp} == 0 (got {V}): "
+            f"Mosaic HBM DMA slices must align to the ({grp}, 128) "
+            f"{jnp.dtype(table.dtype).name} tile. Pad the table to a "
+            "multiple at allocation (docs/large_vocab.md).")
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    nb = -(-N // block)
-    pad = nb * block - N
-    if pad:
-        ids = jnp.concatenate(
-            [ids, jnp.full((pad,), 0x7FFFFFF0, jnp.int32)])
-        rows = jnp.concatenate([rows, jnp.zeros((pad, C), rows.dtype)])
+    if not interpret and C % 128:
+        raise ValueError(
+            f"scatter_add_rmw requires row width % 128 == 0 on TPU "
+            f"(got {C}): lane-dim DMA slices must align to the 128-lane "
+            "tile. Pad the table columns at allocation "
+            "(docs/large_vocab.md).")
+    # cap the block so the VMEM-resident update groups fit the scoped
+    # window: Pallas DOUBLE-BUFFERS the [block, grp, C] grid input, and the
+    # slot array rides alongside, against a 16 MB scoped-vmem limit
+    # (measured OOM at 27.6 MB with block=512, grp=16, C=1664 —
+    # tools/alias_exp3.py); 4 MB per buffer keeps 2x + slots well inside
+    it = jnp.dtype(table.dtype).itemsize
+    while block > 32 and block * grp * C * it > (4 << 20):
+        block //= 2
 
-    def comb(xs):
-        bids, brows = xs
-        return _combine_block(bids, brows)
-    ids2, rows2 = jax.vmap(comb)((ids.reshape(nb, block),
-                                  rows.reshape(nb, block, C)))
-    ids2 = ids2.reshape(-1)
-    rows2 = rows2.reshape(-1, C).astype(table.dtype)
+    def one_span(table, ids, rows):
+        n = ids.shape[0]
+        nb = -(-n // block)
+        pad = nb * block - n
+        if pad:
+            ids = jnp.concatenate(
+                [ids, jnp.full((pad,), 0x7FFFFFF0, jnp.int32)])
+            rows = jnp.concatenate([rows, jnp.zeros((pad, C), rows.dtype)])
 
-    # OOB sentinel -> dead row V (appended); rows there are zero, but the
-    # RMW still touches the row, so it must exist.
-    oob = ids2 >= V
-    ids2 = jnp.where(oob, jnp.int32(V), ids2)
-    rows2 = jnp.where(oob[:, None], jnp.zeros_like(rows2), rows2)
+        # group-layout expansion: row i lands at sublane (ids % grp) of
+        # group (ids // grp), placed in TABLE dtype — the XLA scatter path
+        # also casts rows to table dtype before adding, so precision
+        # matches; the combine still accumulates duplicates in f32
+        # (preferred_element_type + Precision.HIGHEST inside)
+        gids = ids >> shift
+        off = ids & (grp - 1)
+        onehot = (off[:, None] == jnp.arange(grp, dtype=jnp.int32)[None, :])
+        rows8 = jnp.where(onehot[:, :, None],
+                          rows.astype(table.dtype)[:, None, :],
+                          jnp.zeros((), table.dtype))         # [n', grp, C]
 
-    table_pad = jnp.concatenate(
-        [table, jnp.zeros((1, C), table.dtype)], axis=0)
-    out = _scatter_rmw(table_pad, ids2, rows2, block, min(slots, block),
-                       interpret)
-    return out[:V]
+        def comb(xs):
+            bgids, brows = xs
+            return _combine_block(bgids, brows)
+        g2, r2 = jax.vmap(comb)((gids.reshape(nb, block),
+                                 rows8.reshape(nb, block, grp * C)))
+        g2 = g2.reshape(-1)
+        r2 = r2.reshape(-1, grp, C)
+        return _scatter_rmw(table, g2, r2, block, min(slots, block),
+                            interpret)
+
+    # span the rows in bounded chunks: the grp-times-wider group layout is
+    # the dominant temp (at 3.7M x 832d bf16 a single-span expansion would
+    # be ~1.2 GB x2 — enough to tip the chip over when the table itself is
+    # ~12 GB), so cap the expansion at ~128 MB per span; sequential spans
+    # accumulate through memory exactly like sequential blocks
+    span = max(block, ((128 << 20) // (grp * C * it)) // block * block)
+    if N <= span:
+        return one_span(table, ids, rows)
+    for s0 in range(0, N, span):
+        table = one_span(table, ids[s0:s0 + span], rows[s0:s0 + span])
+    return table
