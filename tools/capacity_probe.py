@@ -8,6 +8,14 @@ words/sec over a few pipelined steps, host-fetch sync only.
 
 Usage: python tools/capacity_probe.py [V] [D] [B] [--cpu] [--f32]
                                       [--dense H]   (dense-hot negatives)
+                                      [--rmw]       (Pallas group-RMW
+                                                     scatter: true in-place
+                                                     table, peak = 1x table
+                                                     — the path that fits
+                                                     3.7M x 800d on one
+                                                     chip; pads V to the
+                                                     sublane group and
+                                                     2D to 128 lanes)
                                       [--analyze]   (compile-only: buffer
                                                      report, no execution)
 
@@ -59,7 +67,13 @@ def main():
     gb = V * 2 * D * dtype.itemsize / 1e9
     print(f"table: {V} x {2*D} {dtype.name} = {gb:.1f} GB",
           file=sys.stderr, flush=True)
-    table = jnp.zeros((V, 2 * D), dtype)  # init_params' LCG is too slow at 3.7M
+    rmw = "--rmw" in sys.argv
+    vpad = cpad = 0
+    if rmw:
+        from word2bits_tpu.kernels.scatter_pallas import group_rows
+        vpad = (-V) % group_rows(dtype)
+        cpad = (-2 * D) % 128
+    table = jnp.zeros((V + vpad, 2 * D + cpad), dtype)  # zeros: init LCG too slow at 3.7M
     dense_H = 0
     if "--dense" in sys.argv:
         dense_H = int(sys.argv[sys.argv.index("--dense") + 1])
@@ -73,7 +87,8 @@ def main():
         chunk1 = make_fused_train_chunk(hyper, V, B, steps=1, neg_sharing=G,
                                         hot_rows=dense_H, dense_hot=dh)
     else:
-        chunk1 = make_fused_train_chunk(hyper, V, B, steps=1, neg_sharing=G)
+        chunk1 = make_fused_train_chunk(hyper, V, B, steps=1, neg_sharing=G,
+                                        rmw_scatter=rmw, col_pad=cpad)
 
     scalars = ChunkScalars(base0=jnp.int32(W), alpha0=jnp.float32(0.05),
                            wca_start=jnp.float32(0.0),
@@ -84,7 +99,7 @@ def main():
     if "--analyze" in sys.argv:
         # compile-only: the table exists just as an avals shape, so the full
         # 3.7M x 1600 buffer is never allocated on host or device
-        spec = jax.ShapeDtypeStruct((V, 2 * D), dtype)
+        spec = jax.ShapeDtypeStruct((V + vpad, 2 * D + cpad), dtype)
         t0 = time.perf_counter()
         compiled = chunk1.lower(spec, tokens, sents, atab.prob, atab.alias,
                                 scalars, key).compile()
@@ -95,7 +110,7 @@ def main():
                      "generated_code_size_in_bytes"):
             fields[name.replace("_in_bytes", "_gb")] = round(
                 getattr(ma, name, 0) / 1e9, 3)
-        table_bytes = V * 2 * D * dtype.itemsize
+        table_bytes = (V + vpad) * (2 * D + cpad) * dtype.itemsize
         table_gb = table_bytes / 1e9
         # peak live = arguments + temps + (output NOT aliased ? output : 0)
         # compare RAW bytes — GB rounding would call any sub-MB table
@@ -105,7 +120,8 @@ def main():
                 + (0.0 if aliased else fields["output_size_gb"]))
         print(json.dumps({
             "V": V, "D": D, "B": B, "dtype": dtype.name,
-            "dense_hot": dense_H, "table_gb": round(table_gb, 2),
+            "dense_hot": dense_H, "rmw": rmw,
+            "table_gb": round(table_gb, 2),
             "compile_s": round(time.perf_counter() - t0, 1),
             "backend": jax.default_backend(),
             **fields,
@@ -135,7 +151,7 @@ def main():
     dt = time.perf_counter() - t0
     print(json.dumps({
         "V": V, "D": D, "B": B, "dtype": dtype.name, "dense_hot": dense_H,
-        "table_gb": round(gb, 2),
+        "rmw": rmw, "table_gb": round(gb, 2),
         "compile_s": round(compile_s, 1),
         "ms_per_step": round(dt / steps * 1e3, 1),
         "words_per_sec": round(steps * B / dt, 1),

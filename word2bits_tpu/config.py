@@ -125,6 +125,19 @@ class Word2BitsConfig:
     # one-hot kernel (kernels/hot_pallas.py): one-hot tiles generated in
     # VMEM instead of a [N, H] HBM operand.  Requires -hot-rows.
     hot_pallas: bool = False
+    # In-place Pallas group-RMW parameter scatter (the CAPACITY path):
+    # XLA:TPU copy-insertion never runs the table scatter in place — even
+    # donated, every scatter formulation holds a full table-sized HLO temp
+    # (measured 2026-08-19; kernels/scatter_pallas.py docstring), so the
+    # 3.7M x 800d full-Wikipedia table OOMs one chip without this.  With
+    # it, the update routes through a Pallas DMA read-modify-write kernel
+    # whose input/output alias keeps peak HBM at 1x table: 3.7M x 800d
+    # bf16 measured at 28.2 ms/step / 581k words/sec on one v5e
+    # (tools/capacity_probe.py --rmw).  The table storage is padded to the
+    # dtype's sublane group (16 rows bf16 / 8 f32) and to 128-lane rows;
+    # exports slice the padding off.  Fused-table CBOW single-chip path;
+    # use with -steps-per-chunk 1 for the donated no-scan loop.
+    rmw_scatter: bool = False
     # Banded windowed sums (0 = off): compute the step's two windowed
     # reductions (context sums and per-position u sums) as banded-block MXU
     # matmuls with this tile size instead of 2W shifted VPU adds
@@ -304,6 +317,22 @@ class Word2BitsConfig:
                 raise ValueError(
                     "neg_stratify needs -negative >= 2 so each nonzero "
                     "stratum gets a lane (sampling/unigram.lane_split)")
+        if self.rmw_scatter:
+            if not (self.fused_tables and self.neg_sharing
+                    and self.model == "cbow"):
+                raise ValueError(
+                    "rmw_scatter runs on the fused-table CBOW path "
+                    "(-fused-tables 1 -neg-sharing G -model cbow)")
+            if (self.use_pallas or self.dedup_block or self.hot_rows
+                    or self.neg_stratify or self.neg_dense_hot):
+                raise ValueError(
+                    "rmw_scatter is the plain-scatter capacity path; it "
+                    "does not compose with use_pallas/dedup_block/"
+                    "hot_rows/neg_stratify/neg_dense_hot")
+            if self.mesh_shape:
+                raise ValueError(
+                    "rmw_scatter is single-chip only (the sharded bodies "
+                    "scatter per-shard deltas; shard the vocab instead)")
         if self.mesh_shape:
             # the sharded bodies have no Pallas or dedup-scatter path —
             # reject rather than silently run a different kernel than asked
@@ -397,6 +426,7 @@ REFERENCE_FLAGS = {
     "-hot-pallas": ("hot_pallas", lambda s: bool(int(s))),
     "-hot-interleave": ("hot_interleave", lambda s: bool(int(s))),
     "-banded-tile": ("banded_tile", int),
+    "-rmw-scatter": ("rmw_scatter", lambda s: bool(int(s))),
     "-neg-stratify": ("neg_stratify", lambda s: bool(int(s))),
     "-neg-dense-hot": ("neg_dense_hot", lambda s: bool(int(s))),
     "-profile-dir": ("profile_dir", str),

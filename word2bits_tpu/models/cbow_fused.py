@@ -49,7 +49,8 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                     use_pallas: bool = False, dedup_block: int = 0,
                     neg_pool: int = 1, hot_rows: int = 0, cold_pos=None,
                     strat_lanes=None, dense_hot=None,
-                    hot_pallas: bool = False, banded: int = 0):
+                    hot_pallas: bool = False, banded: int = 0,
+                    rmw_scatter: bool = False, col_pad: int = 0):
     """One synchronous step on the fused (V, 2D) table. Shared negatives
     required (the fused layout exists for the optimized path).
     use_pallas routes the negative score/gradient phase through the fused
@@ -65,7 +66,12 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     if dense_hot is not None and not hot_rows:
         raise ValueError("dense_hot requires hot_rows (the hot-stratum "
                          "boundary of the negative distribution)")
-    B, W, K, D = batch_size, hyper.window, hyper.negative, table.shape[1] // 2
+    B, W, K = batch_size, hyper.window, hyper.negative
+    # col_pad: trailing zero columns padding the storage row to the TPU's
+    # 128-lane tile (required by the Pallas RMW scatter's HBM DMA slices);
+    # the model's logical width stays 2D — gathers slice the pad off and
+    # scatter rows are re-padded with zeros, so padded lanes remain zero
+    D = (table.shape[1] - col_pad) // 2
     bl, reg = hyper.bitlevel, hyper.reg
     dt = jnp.float32
     G = neg_sharing
@@ -79,7 +85,7 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     # ONE gather: u rows for all positions + v rows for the centers
     slab_rows = table[slab_ids].astype(dt)                 # [B+2W, 2D]
     u_slab = slab_rows[:, :D]
-    v_c = slab_rows[W:W + B, D:]                           # centers' v rows
+    v_c = slab_rows[W:W + B, D:2 * D]                      # centers' v rows
     q_slab = quantize(u_slab, bl)
 
     q_sq = jnp.sum(q_slab * q_slab, axis=-1)
@@ -118,7 +124,7 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     P = neg_pool if neg_pool and neg_pool > 1 else 1
     negs = inputs.neg_ids              # [T, P*Kl]; Kl = lanes per pool
     Kl = negs.shape[1] // P            # == K, or kc under dense_hot
-    v_n = table[negs][..., D:].astype(dt)                  # [T, P*Kl, D]
+    v_n = table[negs][..., D:2 * D].astype(dt)             # [T, P*Kl, D]
     cavg3 = to_tiles(cavg, T, G)
     af3 = to_tiles(af, T, G)
     centers3 = to_tiles(centers, T, G)
@@ -211,7 +217,17 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     dv_slab = jnp.zeros((B + 2 * W, D), dt)
     dv_slab = lax.dynamic_update_slice(dv_slab, dv_center, (W, 0))
     fused_rows = jnp.concatenate([du_slab, dv_slab], axis=1)  # [B+2W, 2D]
-    if dedup_block:
+    if rmw_scatter:
+        # in-place Pallas group-RMW: the capacity path — XLA's scatter
+        # always copy-inserts a second table on this backend (kernel
+        # docstring / docs/large_vocab.md), this one keeps peak at 1x table
+        from word2bits_tpu.kernels.scatter_pallas import scatter_add_rmw
+
+        def scat(tab, ids, rows):
+            if col_pad:
+                rows = jnp.pad(rows, ((0, 0), (0, col_pad)))
+            return scatter_add_rmw(tab, ids, rows.astype(tab.dtype))
+    elif dedup_block:
         from word2bits_tpu.ops.scatter import scatter_add_dedup
 
         def scat(tab, ids, rows):
@@ -304,7 +320,8 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                            dedup_block: int = 0, neg_pool: int = 1,
                            hot_rows: int = 0, strat_lanes=None,
                            dense_hot=None, hot_pallas: bool = False,
-                           banded: int = 0):
+                           banded: int = 0,
+                           rmw_scatter: bool = False, col_pad: int = 0):
     """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key
     [, cold_pos]) -> (table, loss_sum); table is the fused (V, 2D) array.
 
@@ -330,6 +347,19 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
     P = neg_pool if (neg_pool and neg_pool > 1) else 1
     neg_rows = batch_size // neg_sharing
     hot_rows = min(int(hot_rows), vocab_size)
+    if rmw_scatter and (use_pallas or dedup_block or hot_rows
+                        or strat_lanes is not None or dense_hot is not None):
+        raise ValueError(
+            "rmw_scatter is the plain-scatter capacity path; it does not "
+            "compose with use_pallas/dedup_block/hot_rows/strat_lanes/"
+            "dense_hot (those restructure the scatter themselves)")
+    if col_pad and not rmw_scatter:
+        raise ValueError("col_pad only applies with rmw_scatter")
+    if rmw_scatter and (2 * hyper.size + col_pad) % 128:
+        raise ValueError(
+            f"rmw_scatter stores rows of width 2*size+col_pad = "
+            f"{2 * hyper.size + col_pad}; pad to a multiple of 128 lanes "
+            f"(col_pad={-(2 * hyper.size) % 128} for size={hyper.size})")
 
     def one_step(table, s, k, tokens, sent_ids, atab, scalars, cold_pos):
         k_neg, k_win = jax.random.split(k)
@@ -366,7 +396,8 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                                strat_lanes=strat_lanes,
                                dense_hot=(None if dense_hot is None else
                                           (dense_hot[1], dense_hot[2])),
-                               hot_pallas=hot_pallas, banded=banded)
+                               hot_pallas=hot_pallas, banded=banded,
+                               rmw_scatter=rmw_scatter, col_pad=col_pad)
 
     if steps == 1:
         # No-scan capacity path: lax.scan double-buffers the carried table

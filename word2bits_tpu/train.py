@@ -99,6 +99,9 @@ class Engine:
     sharded: Optional[object]
     fused_mode: bool
     seg_cold: dict
+    # (row, col) zero padding on the fused table storage (rmw_scatter packs
+    # it to the TPU sublane-group / 128-lane tile); exports slice it off
+    table_pad: tuple = (0, 0)
 
 
 def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
@@ -143,6 +146,15 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
         # interleaved (V, 2D) table path: one scatter covers u + center-v
         from word2bits_tpu.models.cbow_fused import (
             interleave, make_fused_train_chunk)
+        vpad = cpad = 0
+        if cfg.rmw_scatter:
+            # pad the table storage to what the RMW kernel's HBM DMA can
+            # slice (kernels/scatter_pallas.py): rows to the dtype sublane
+            # group, columns to the 128-lane tile; padding stays zero and
+            # is sliced off at export (tests/test_rmw_chunk.py)
+            from word2bits_tpu.kernels.scatter_pallas import group_rows
+            vpad = (-V) % group_rows(u.dtype)
+            cpad = (-2 * cfg.size) % 128
         fused_fn = make_fused_train_chunk(hyper, V, B, S,
                                           neg_sharing=cfg.neg_sharing,
                                           use_pallas=cfg.use_pallas,
@@ -152,7 +164,9 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
                                           strat_lanes=strat_lanes,
                                           dense_hot=dense_hot,
                                           hot_pallas=cfg.hot_pallas,
-                                          banded=cfg.banded_tile)
+                                          banded=cfg.banded_tile,
+                                          rmw_scatter=cfg.rmw_scatter,
+                                          col_pad=cpad)
 
         # -hot-rows: the per-segment cold-row compaction map, updated by the
         # segment loop below (an explicit jit arg; the holder just threads it
@@ -166,6 +180,8 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
             return table_, v_, loss_
 
         u = interleave(u, v)
+        if vpad or cpad:
+            u = jnp.pad(u, ((0, vpad), (0, cpad)))
         v = jnp.zeros((0,), u.dtype)
     elif cfg.model == "skipgram":
         from word2bits_tpu.models.skipgram import make_skipgram_train_chunk
@@ -185,8 +201,9 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
 
     fused_mode = bool(sharded is None and cfg.fused_tables
                       and cfg.neg_sharing and cfg.model == "cbow")
+    pad = (vpad, cpad) if (fused_mode and cfg.rmw_scatter) else (0, 0)
     return Engine(chunk_fn=chunk_fn, u=u, v=v, table=table, sharded=sharded,
-                  fused_mode=fused_mode, seg_cold=seg_cold)
+                  fused_mode=fused_mode, seg_cold=seg_cold, table_pad=pad)
 
 
 def train(cfg: Word2BitsConfig,
@@ -212,9 +229,10 @@ def train(cfg: Word2BitsConfig,
         # path keeps peak at 1x tables (tools/capacity_probe.py --analyze).
         _log(cfg, f"WARNING: tables are {tables_gb:.1f} GB; the scan path "
                   f"(steps_per_chunk={S}) double-buffers them and will "
-                  "likely OOM one chip.  Use -steps-per-chunk 1 (donated "
-                  "per-step path), -dtype bfloat16, or -mesh-shape to "
-                  "vocab-shard.")
+                  "likely OOM one chip.  Use -steps-per-chunk 1 "
+                  "-rmw-scatter 1 (in-place per-step path; XLA's scatter "
+                  "copies the table even donated — ARCHITECTURE.md), "
+                  "-dtype bfloat16, or -mesh-shape to vocab-shard.")
     u, v = init_params(V, D, init=cfg.init, seed=cfg.seed, dtype=dtype)
 
     key = jax.random.PRNGKey(cfg.seed)
@@ -240,6 +258,17 @@ def train(cfg: Word2BitsConfig,
         """Split params for export/checkpoint (fused mode interleaves)."""
         if fused_mode:
             from word2bits_tpu.models.cbow_fused import deinterleave
+            vp, cp = engine.table_pad
+            if vp or cp:
+                # trim rmw_scatter's storage padding HOST-side and return
+                # numpy (all consumers np.asarray anyway): a device slice
+                # would briefly hold a second near-full table — the
+                # capacity path exists precisely because one table is all
+                # that fits
+                t = np.asarray(u_)
+                t = t[:t.shape[0] - vp, :t.shape[1] - cp]
+                half = t.shape[1] // 2
+                return t[:, :half], t[:, half:]
             return deinterleave(u_)
         return u_, v_
 
