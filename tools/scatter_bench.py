@@ -59,6 +59,10 @@ def main():
     shapes = [
         ("bench-70k-c400-bf16", 70_000, 400, 11_280, jnp.bfloat16),
         ("wiki-400k-c1600-bf16", 400_000, 1600, 11_280, jnp.bfloat16),
+        # the RMW kernel's own shape class (capacity path): 128-lane-
+        # aligned rows — on the first two shapes rmw correctly refuses
+        # (C % 128 != 0) and the failure prints, documenting the constraint
+        ("capacity-500k-c1664-bf16", 500_000, 1664, 22_544, jnp.bfloat16),
     ]
     if "--quick" in sys.argv:
         shapes = shapes[:1]
