@@ -41,6 +41,7 @@ _FLAG = {
     "neg_dense_hot": ("-neg-dense-hot", lambda v: "1"),
     "banded_tile": ("-banded-tile", str),
     "dtype": ("-dtype", str),
+    "steps_per_chunk": ("-steps-per-chunk", str),
 }
 
 
@@ -92,6 +93,18 @@ def variants(cfg: Word2BitsConfig, V: int) -> List[Tuple[str, Dict, str]]:
     if bt:
         out.append(("banded", dict(fused, banded_tile=bt),
                     "same sums, float order differs"))
+    # scan-chunk size: the measured top lever on the tunnel-latency v5e
+    # (step_bench 2026-08-19: S=128 +22% over S=16) — dispatch grouping
+    # only, same estimator; skip when the user already runs big chunks or
+    # the no-scan capacity path (S=1 exists to halve peak HBM)
+    if 1 < cfg.steps_per_chunk < 64:
+        out.append(("chunk64", dict(steps_per_chunk=64),
+                    "same math, fewer dispatches (scan 64 steps/chunk)"))
+        if bt:
+            out.append(("banded-chunk64",
+                        dict(fused, banded_tile=bt, steps_per_chunk=64),
+                        "banded + 64-step chunks (the bench winner's "
+                        "shape, 2026-08-19)"))
     if cfg.dtype == "float32":
         out.append(("bf16", dict(fused, dtype="bfloat16"),
                     "bf16 backing store (validated at/above f32 "
@@ -188,7 +201,12 @@ def run_tune(cfg: Word2BitsConfig, seconds: float = 4.0,
     vocab, encoded = prepare(cfg)
     V = vocab.size
     W = cfg.window
-    seg_tokens, capacity = segment_capacity(cfg, len(encoded))
+    # epoch arrays must cover the LARGEST steps_per_chunk any candidate
+    # uses (capacity pads by S*B past the segment)
+    cands_S = [int(o.get("steps_per_chunk", cfg.steps_per_chunk))
+               for _, o, _ in variants(cfg, V)]
+    cfg_cap = dataclasses.replace(cfg, steps_per_chunk=max(cands_S))
+    seg_tokens, capacity = segment_capacity(cfg_cap, len(encoded))
     ep = build_epoch_arrays(encoded[:seg_tokens], vocab.counts, cfg.sample,
                             vocab.train_words, W,
                             np.random.default_rng(cfg.seed),
