@@ -115,6 +115,9 @@ def main():
         for M in (1024, 2048):
             yield (f"percenter-dedup{M}", Bp,
                    dict(neg_sharing=0, dedup_block=M), "slab")
+        # scan-chunk amortization on the exact path (the fused S-lever)
+        for Sv in (64, 128):
+            yield f"percenter-S{Sv}", Bp, dict(neg_sharing=0), "slab", Sv
 
     results = {}
     for item in variants():
