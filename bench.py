@@ -74,6 +74,7 @@ VARIANTS = [
     dict(name="banded256", banded=256),
     dict(name="banded256_S64", banded=256, steps_per_chunk=64),
     dict(name="banded256_S128", banded=256, steps_per_chunk=128),
+    dict(name="banded256_S256", banded=256, steps_per_chunk=256),
     dict(name="S64", steps_per_chunk=64),
     dict(name="hot2048", hot_rows=2048),
     dict(name="hot2048_banded256", hot_rows=2048, banded=256),
