@@ -333,6 +333,15 @@ class Word2BitsConfig:
                 raise ValueError(
                     "rmw_scatter is single-chip only (the sharded bodies "
                     "scatter per-shard deltas; shard the vocab instead)")
+            if self.steps_per_chunk > 1:
+                # rmw_scatter exists for 1x-table peak HBM; lax.scan
+                # double-buffers the carried table and silently negates it
+                import warnings
+                warnings.warn(
+                    "rmw_scatter with -steps-per-chunk > 1 runs the scan "
+                    "path, which double-buffers the carried table (~2x peak "
+                    "HBM) — the capacity benefit rmw_scatter exists for "
+                    "needs -steps-per-chunk 1", stacklevel=2)
         if self.mesh_shape:
             # the sharded bodies have no Pallas or dedup-scatter path —
             # reject rather than silently run a different kernel than asked

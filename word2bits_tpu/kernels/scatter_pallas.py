@@ -144,10 +144,16 @@ def group_rows(dtype) -> int:
     return 32 // jnp.dtype(dtype).itemsize
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(0,))
 def _scatter_rmw(table, gids, rows8, block: int, slots: int,
                  interpret: bool):
-    """table [V, C] (V % g == 0) += group-layout rows8 [N, g, C] at gids."""
+    """table [V, C] (V % g == 0) += group-layout rows8 [N, g, C] at gids.
+
+    The table argument is DONATED: a top-level/eager call would otherwise
+    force XLA to copy the full table to satisfy the kernel's
+    input_output_alias — reintroducing the 2x-table peak this capacity
+    kernel exists to avoid.  (Inside an outer donated jit — the training
+    chunk — the inner donation is inert and aliasing is already safe.)"""
     nb = gids.shape[0] // block
     V, C = table.shape
     grp = group_rows(table.dtype)
