@@ -50,7 +50,8 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                     neg_pool: int = 1, hot_rows: int = 0, cold_pos=None,
                     strat_lanes=None, dense_hot=None,
                     hot_pallas: bool = False, banded: int = 0,
-                    rmw_scatter: bool = False, col_pad: int = 0):
+                    rmw_scatter: bool = False, col_pad: int = 0,
+                    scatter_impl: str = "add"):
     """One synchronous step on the fused (V, 2D) table. Shared negatives
     required (the fused layout exists for the optimized path).
     use_pallas routes the negative score/gradient phase through the fused
@@ -233,7 +234,52 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         def scat(tab, ids, rows):
             return scatter_add_dedup(tab, ids, rows.astype(tab.dtype),
                                      dedup_block)
+    elif scatter_impl == "sortuniq":
+        # sort ids (1D argsort is cheap), permute rows by one vectorized
+        # gather, scatter with indices_are_sorted — update-equal modulo
+        # float summation order (duplicates still emitted; measures whether
+        # XLA's sorted path beats the unsorted serialized loop IN-STEP)
+        def scat(tab, ids, rows):
+            order = jnp.argsort(ids)
+            return tab.at[ids[order]].add(rows[order].astype(tab.dtype),
+                                          indices_are_sorted=True)
+    elif scatter_impl == "uniq_probe":
+        # ABLATION ONLY — NOT update-equal: claims unique_indices on ids
+        # that do contain duplicates (wrong sums), to measure whether XLA's
+        # unique-indices scatter path runs vectorized in-step
+        def scat(tab, ids, rows):
+            return tab.at[ids].add(rows.astype(tab.dtype),
+                                   unique_indices=True)
+    elif scatter_impl == "uniqsort_probe":
+        # ABLATION ONLY — NOT update-equal: sorted + claimed-unique
+        def scat(tab, ids, rows):
+            order = jnp.argsort(ids)
+            return tab.at[ids[order]].add(rows[order].astype(tab.dtype),
+                                          unique_indices=True,
+                                          indices_are_sorted=True)
+    elif scatter_impl == "dense_probe":
+        # ABLATION ONLY — NOT update-equal: replaces the scatter with a
+        # dense slice RMW of identical row count/traffic, isolating XLA's
+        # per-row serialization cost from the HBM traffic (profiling tool;
+        # never reachable from config)
+        def scat(tab, ids, rows):
+            n = rows.shape[0]
+            head = (tab[:n].astype(jnp.float32)
+                    + rows.astype(jnp.float32)
+                    + 0.0 * ids[:1].astype(jnp.float32))
+            return lax.dynamic_update_slice(tab, head.astype(tab.dtype),
+                                            (0, 0))
+    elif scatter_impl == "sweep":
+        # swept MXU placement (kernels/sweep_scatter.py): slab + negative
+        # rows combine into ONE sorted sweep below — `scat` must not be
+        # reached (the combined call replaces both call sites)
+        def scat(tab, ids, rows):
+            raise AssertionError("sweep handles the update in one combined "
+                                 "call; scat() must not be reached")
     else:
+        if scatter_impl != "add":
+            raise ValueError(f"unknown scatter_impl {scatter_impl!r}")
+
         def scat(tab, ids, rows):
             return tab.at[ids].add(rows.astype(tab.dtype))
     if hot_rows:
@@ -304,6 +350,22 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                 jnp.concatenate([jnp.zeros_like(nc), nc],
                                 axis=1).astype(table.dtype))
             return table, loss
+    elif scatter_impl == "sweep":
+        # ONE combined sorted sweep for slab + negative rows: a single
+        # argsort/placement pass over all ~(B+2W + T*P*K) update rows
+        # (kernels/sweep_scatter.py) — same sums as the two .at[].add
+        # calls modulo float summation order
+        from word2bits_tpu.kernels.sweep_scatter import scatter_add_sweep
+        neg_rows = jnp.concatenate(
+            [jnp.zeros(dv_neg.reshape(-1, D).shape, dt),
+             dv_neg.reshape(-1, D)], axis=1)
+        all_rows = jnp.concatenate([fused_rows, neg_rows])
+        if col_pad:
+            all_rows = jnp.pad(all_rows, ((0, 0), (0, col_pad)))
+        all_ids = jnp.concatenate([slab_ids, negs.reshape(-1)])
+        table = scatter_add_sweep(table, all_ids,
+                                  all_rows.astype(table.dtype))
+        return table, loss
     else:
         table = scat(table, slab_ids, fused_rows)
     # ... plus the negative-row scatter (u-half zero)
@@ -321,7 +383,8 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                            hot_rows: int = 0, strat_lanes=None,
                            dense_hot=None, hot_pallas: bool = False,
                            banded: int = 0,
-                           rmw_scatter: bool = False, col_pad: int = 0):
+                           rmw_scatter: bool = False, col_pad: int = 0,
+                           scatter_impl: str = "add"):
     """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key
     [, cold_pos]) -> (table, loss_sum); table is the fused (V, 2D) array.
 
@@ -353,13 +416,21 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
             "rmw_scatter is the plain-scatter capacity path; it does not "
             "compose with use_pallas/dedup_block/hot_rows/strat_lanes/"
             "dense_hot (those restructure the scatter themselves)")
-    if col_pad and not rmw_scatter:
-        raise ValueError("col_pad only applies with rmw_scatter")
-    if rmw_scatter and (2 * hyper.size + col_pad) % 128:
+    if col_pad and not (rmw_scatter or scatter_impl == "sweep"):
+        raise ValueError("col_pad only applies with rmw_scatter / "
+                         "scatter_impl='sweep'")
+    if (rmw_scatter or scatter_impl == "sweep") \
+            and (2 * hyper.size + col_pad) % 128:
         raise ValueError(
-            f"rmw_scatter stores rows of width 2*size+col_pad = "
+            f"rmw_scatter/sweep store rows of width 2*size+col_pad = "
             f"{2 * hyper.size + col_pad}; pad to a multiple of 128 lanes "
             f"(col_pad={-(2 * hyper.size) % 128} for size={hyper.size})")
+    if scatter_impl == "sweep" and (rmw_scatter or dedup_block or hot_rows
+                                    or strat_lanes is not None
+                                    or dense_hot is not None):
+        raise ValueError("scatter_impl='sweep' replaces the plain scatter; "
+                         "it does not compose with rmw_scatter/dedup_block/"
+                         "hot_rows/strat_lanes/dense_hot")
 
     def one_step(table, s, k, tokens, sent_ids, atab, scalars, cold_pos):
         k_neg, k_win = jax.random.split(k)
@@ -397,7 +468,8 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                                dense_hot=(None if dense_hot is None else
                                           (dense_hot[1], dense_hot[2])),
                                hot_pallas=hot_pallas, banded=banded,
-                               rmw_scatter=rmw_scatter, col_pad=col_pad)
+                               rmw_scatter=rmw_scatter, col_pad=col_pad,
+                               scatter_impl=scatter_impl)
 
     if steps == 1:
         # No-scan capacity path: lax.scan double-buffers the carried table
