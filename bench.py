@@ -227,6 +227,45 @@ def main():
         except Exception:
             baseline = None
 
+    HBM_GBPS = 819e9  # TPU v5e HBM bandwidth (16 GB HBM2 @ 819 GB/s)
+
+    def step_bytes(cfg):
+        """HBM traffic model for one step of the fused-table formulation —
+        the chip-roofline denominator (VERDICT r2 #4: judge rounds against
+        the chip, not the CPU-binary floor in bench_baseline.json).
+
+        Rows are (V, 2D) in cfg['dtype']; per step the model counts
+          gather  slab: (B+2W) rows read (u + center-v ride one gather)
+          gather  negs: T*K rows read (v-half only; XLA fuses the slice)
+          scatter slab: (B+2W) rows read+written (RMW full width)
+          scatter negs: T*K rows read+written (u-half zeros still move)
+        Elementwise temps ([B,D] masks/averages/scores) are VMEM-resident
+        after XLA fusion and excluded; the model UNDERSTATES true traffic,
+        so pct_hbm_roofline is a lower bound on achieved efficiency.
+        """
+        B, W = cfg["batch_size"], cfg["window"]
+        D2 = 2 * cfg["size"]
+        nbytes = np.dtype(cfg["dtype"]).itemsize
+        slab = B + 2 * W
+        tk = (B // cfg["neg_sharing"]) * cfg["negative"]
+        row = D2 * nbytes
+        gathers = (slab + tk // 2) * row          # neg gather = half row
+        scatters = 2 * (slab + tk) * row          # RMW: read + write
+        if cfg.get("hot_rows"):
+            # hot head: dense slice RMW of H rows + one-hot MXU operand
+            H = cfg["hot_rows"]
+            scatters += 2 * H * row
+        return gathers + scatters
+
+    def roofline_fields(cfg, wps):
+        spd = words_per_step / wps                # seconds per step
+        bts = step_bytes(cfg)
+        return {
+            "us_per_step": round(spd * 1e6, 1),
+            "bytes_per_step": int(bts),
+            "pct_hbm_roofline": round(100.0 * (bts / HBM_GBPS) / spd, 2),
+        }
+
     def run_variant(var):
         """Build one variant's chunk fn, warm up, and time it."""
         cfg = dict(CFG)
@@ -315,12 +354,15 @@ def main():
         print(f"bench: [{var['name']}] {wps:,.0f} words/sec",
               file=sys.stderr, flush=True)
         if best is None or wps > best["value"]:
+            cfg_v = dict(CFG)
+            cfg_v.update(var)
             best = {
                 "metric": "train_words_per_sec_per_chip",
                 "value": round(wps, 1),
                 "unit": "words/sec",
                 "vs_baseline": round(wps / baseline, 3) if baseline else None,
                 "variant": var["name"],
+                **roofline_fields(cfg_v, wps),
             }
             # record progressively: a kill mid-adjudication must not lose
             # the round's number (supervisor salvages PARTIAL_FILE)
