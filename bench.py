@@ -71,12 +71,21 @@ CFG = dict(bitlevel=1, size=200, window=8, negative=24, min_count=5,
 # number.
 VARIANTS = [
     dict(name="base"),
+    # span: the spanning sweep scatter (kernels/span_scatter.py) with the
+    # sort/plan pre-pass hoisted out of the scan — update-equal modulo
+    # float summation order, measured 16.8M words/sec vs add's 11.8M at
+    # this shape (tools/ablate_fused.py, v5e 2026-08-19); right after base
+    # so the expected winner lands early if a later variant wedges the
+    # tunnel (progressive publication)
+    dict(name="span_banded256_S128", banded=256, steps_per_chunk=128,
+         scatter_impl="span"),
+    dict(name="span_S128", steps_per_chunk=128, scatter_impl="span"),
+    dict(name="span_banded256_S64", banded=256, steps_per_chunk=64,
+         scatter_impl="span"),
     dict(name="banded256", banded=256),
-    dict(name="banded256_S64", banded=256, steps_per_chunk=64),
     dict(name="banded256_S128", banded=256, steps_per_chunk=128),
     dict(name="banded256_S256", banded=256, steps_per_chunk=256),
     dict(name="S64", steps_per_chunk=64),
-    dict(name="hot2048", hot_rows=2048),
     dict(name="hot2048_banded256", hot_rows=2048, banded=256),
 ]
 BENCH_SECONDS = 8.0       # per-variant timed window
@@ -250,7 +259,14 @@ def main():
         tk = (B // cfg["neg_sharing"]) * cfg["negative"]
         row = D2 * nbytes
         gathers = (slab + tk // 2) * row          # neg gather = half row
-        scatters = 2 * (slab + tk) * row          # RMW: read + write
+        if cfg.get("scatter_impl") in ("sweep", "span"):
+            # swept kernel: every touched window moves once each way; at
+            # this shape all windows are touched, so the scatter side is a
+            # full-table sweep plus the sorted-row stream (gather + kernel)
+            Vp = -(-V // 512) * 512
+            scatters = 2 * Vp * row + 3 * (slab + tk) * row
+        else:
+            scatters = 2 * (slab + tk) * row      # RMW: read + write
         if cfg.get("hot_rows"):
             # hot head: dense slice RMW of H rows + one-hot MXU operand
             H = cfg["hot_rows"]
@@ -292,10 +308,15 @@ def main():
             table = st.cold
         else:
             table = build_alias_table(weights)
+        simpl = cfg.get("scatter_impl", "add")
+        col_pad = (-2 * cfg["size"]) % 128 if simpl in ("sweep", "span") \
+            else 0
         chunk_fn = make_fused_train_chunk(hyper, V, B, Sv,
                                           neg_sharing=cfg["neg_sharing"],
                                           hot_rows=hot, dense_hot=dense,
-                                          banded=int(cfg.get("banded") or 0))
+                                          banded=int(cfg.get("banded") or 0),
+                                          scatter_impl=simpl,
+                                          col_pad=col_pad)
         extra = ()
         if hot:
             n_rows = len(ep.tokens) // B + Sv + 2
@@ -303,6 +324,11 @@ def main():
         u, v = init_params(V, cfg["size"], init="uniform", seed=0,
                            dtype=jnp.dtype(cfg["dtype"]))
         params = interleave(u, v)  # fused (V, 2D): one scatter for u+v_center
+        if simpl in ("sweep", "span"):
+            # swept kernels need window-aligned rows and 128-lane columns;
+            # padding stays zero (zero rows never match a window id, zero
+            # columns ride with zero gradients) and is excluded from timing
+            params = jnp.pad(params, ((0, (-V) % 512), (0, col_pad)))
         key = jax.random.PRNGKey(0)
         # warmup / compile.  NOTE: on the axon TPU backend block_until_ready
         # is unreliable (returns before execution); a host scalar fetch is

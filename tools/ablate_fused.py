@@ -73,6 +73,10 @@ def main():
                                  col_pad=(-2 * D) % 128)),
         ("sweep_S256", 256, dict(scatter_impl="sweep",
                                  col_pad=(-2 * D) % 128)),
+        ("span_S128", 128, dict(scatter_impl="span",
+                                col_pad=(-2 * D) % 128)),
+        ("span_S256", 256, dict(scatter_impl="span",
+                                col_pad=(-2 * D) % 128)),
         ("uniq_probe_S128", 128, dict(scatter_impl="uniq_probe")),
         ("uniqsort_probe_S128", 128, dict(scatter_impl="uniqsort_probe")),
     ]
@@ -87,7 +91,8 @@ def main():
             u, v = init_params(V, D, init="uniform", seed=0, dtype=dtype)
             params = interleave(u, v)
             if kw.get("col_pad"):
-                vmult = 512 if kw.get("scatter_impl") == "sweep" else 16
+                vmult = (512 if kw.get("scatter_impl") in ("sweep", "span")
+                         else 16)
                 params = jnp.pad(params, ((0, (-V) % vmult),
                                           (0, kw["col_pad"])))
             max_chunks = max(1, n_centers // (S * B))

@@ -163,6 +163,115 @@ def main():
             return table
         return run
 
+    def while_of(body):
+        """Same loop as scan_of but lax.while_loop: no ys stacking — does
+        XLA keep the carried table in place here where scan copies it?"""
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(table, rows):
+            def cond(c):
+                return c[1] < S
+            def step(c):
+                tab, s = c
+                return body(tab, s, rows), s + 1
+            table, _ = jax.lax.while_loop(cond, step,
+                                          (table, jnp.int32(0)))
+            return table
+        return run
+
+    # --- hoisted plans: ids for every step of the chunk are knowable at
+    # chunk entry (slab ids from the epoch; negatives pre-drawable), so the
+    # whole sort/slot pre-pass batches out of the loop ---
+    @jax.jit
+    def _plans_of(ids_all):
+        return jax.vmap(
+            lambda i: sw.sweep_plan(i, V, window=WINDOW, chunk=CHUNK)
+        )(ids_all)
+
+    def all_plans():
+        # ids as a runtime arg so XLA can't constant-fold the batched sort
+        ids_all = np.stack([(base_ids + s) % (V - 256) for s in range(S)])
+        return _plans_of(jnp.asarray(ids_all.astype(np.int32)))
+
+    def planned_scan():
+        # plans ride as runtime ARGUMENTS (captured arrays would embed as
+        # XLA literals — a ~100 MB poffs constant) and scan xs slices them
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(table, rows, g, poffs, meta, first):
+            def step(tab, xs):
+                return sw.scatter_add_sweep_planned(
+                    tab, xs, rows, window=WINDOW, chunk=CHUNK,
+                    interpret=interpret), ()
+            table, _ = jax.lax.scan(step, table, (g, poffs, meta, first))
+            return table
+        return run
+
+    def planned_while():
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(table, rows, g, poffs, meta, first):
+            def cond(c):
+                return c[1] < S
+            def step(c):
+                tab, s = c
+                plan = tuple(
+                    jax.lax.dynamic_index_in_dim(p, s, keepdims=False)
+                    for p in (g, poffs, meta, first))
+                return sw.scatter_add_sweep_planned(
+                    tab, plan, rows, window=WINDOW, chunk=CHUNK,
+                    interpret=interpret), s + 1
+            table, _ = jax.lax.while_loop(cond, step, (table, jnp.int32(0)))
+            return table
+        return run
+
+    def bsort_cost():
+        """One batched sort_key_val over the whole chunk's ids ([S, N]) —
+        the irreducible hoisted cost of any sorted-scatter design."""
+        ids_np = np.stack(
+            [(base_ids + s) % (V - 256) for s in range(S)]).astype(np.int32)
+        iota2 = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (S, N))
+
+        @jax.jit
+        def run(table, ids_all):
+            sids, order = jax.lax.sort_key_val(ids_all, iota2, dimension=1)
+            return table.at[:1, :1].add(
+                (sids[:1, :1] + order[:1, :1]).astype(table.dtype))
+
+        ids_dev = jnp.asarray(ids_np)   # transfer ONCE: a per-rep 5.8 MB
+        # host->device copy through the tunnel dominated earlier numbers
+        return run, (lambda: (jnp.zeros((V, C), jnp.bfloat16), ids_dev))
+
+    def sortedrows_cost():
+        """In-scan rows[order] permutation row gather (order hoisted as xs):
+        the only per-step XLA cost of the spanning-sweep design."""
+        ids_np = np.stack(
+            [(base_ids + s) % (V - 256) for s in range(S)]).astype(np.int32)
+        order_np = np.argsort(ids_np, axis=1).astype(np.int32)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(table, rows, order_all):
+            def step(tab, order):
+                sr = rows[order]
+                return tab.at[:1, :1].add(sr[:1, :1].astype(tab.dtype)), ()
+            table, _ = jax.lax.scan(step, table, order_all)
+            return table
+
+        order_dev = jnp.asarray(order_np)   # transfer once (see bsort_cost)
+        return run, (lambda: (jnp.zeros((V, C), jnp.bfloat16), rows_j,
+                              order_dev))
+
+    def plans_cost():
+        """The batched plan build itself (amortized per step of S)."""
+        ids_np = np.stack(
+            [(base_ids + s) % (V - 256) for s in range(S)]).astype(np.int32)
+
+        @jax.jit
+        def run(table, ids_all):
+            plans = _plans_of(ids_all)
+            return table.at[:1, :1].add(
+                (plans[0][:1, :1] + plans[2][:1, :1]).astype(table.dtype))
+
+        ids_dev = jnp.asarray(ids_np)   # transfer once (see bsort_cost)
+        return run, (lambda: (jnp.zeros((V, C), jnp.bfloat16), ids_dev))
+
     # kernel-only: pre-pass hoisted out of the scan, same pallas_call
     prows0, poffs0, meta0, first0 = jax.jit(
         lambda t, i, r: prepass(t, i, r))(
@@ -180,10 +289,13 @@ def main():
 
     variants = {
         "noop": scan_of(body_noop),
+        "noop_while": while_of(body_noop),
         "scatter": scan_of(body_scatter),
+        "scatter_while": while_of(body_scatter),
         "argsort": scan_of(body_argsort),
         "prepass": scan_of(body_prepass),
         "sweep": scan_of(body_sweep),
+        "sweep_while": while_of(body_sweep),
         "stage0_sort": scan_of(stage_body(0)),
         "stage1_edges": scan_of(stage_body(1)),
         "stage2_slots": scan_of(stage_body(2)),
@@ -219,6 +331,31 @@ def main():
                      lambda: (jnp.zeros((V, C), jnp.bfloat16), rows_j))
         except Exception as e:
             print(f"{name} FAILED: {type(e).__name__}: {e}"[:300], flush=True)
+    for nm, mk in (("plans_cost", plans_cost), ("bsort", bsort_cost),
+                   ("sortedrows", sortedrows_cost)):
+        if wanted and nm not in wanted:
+            continue
+        try:
+            pfn, pargs = mk()
+            time_one(nm, pfn, pargs)
+        except Exception as e:
+            print(f"{nm} FAILED: {type(e).__name__}: {e}"[:300], flush=True)
+    planned_wanted = [n for n in ("planned", "planned_while")
+                      if not wanted or n in wanted]
+    if planned_wanted:
+        plans = all_plans()
+        plans = tuple(jnp.asarray(p) for p in plans)
+        for name, mk in (("planned", planned_scan),
+                         ("planned_while", planned_while)):
+            if name not in planned_wanted:
+                continue
+            try:
+                time_one(name, mk(),
+                         lambda: (jnp.zeros((V, C), jnp.bfloat16), rows_j)
+                         + plans)
+            except Exception as e:
+                print(f"{name} FAILED: {type(e).__name__}: {e}"[:300],
+                      flush=True)
     if not wanted or "kernel" in wanted:
         try:
             time_one("kernel", run_kernel_only,

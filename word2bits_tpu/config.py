@@ -318,21 +318,20 @@ class Word2BitsConfig:
                     "neg_stratify needs -negative >= 2 so each nonzero "
                     "stratum gets a lane (sampling/unigram.lane_split)")
         if self.rmw_scatter:
-            if not (self.fused_tables and self.neg_sharing
-                    and self.model == "cbow"):
+            if self.model != "cbow":
+                raise ValueError("rmw_scatter runs on the CBOW paths only")
+            if not self.mesh_shape and not (self.fused_tables
+                                            and self.neg_sharing):
                 raise ValueError(
-                    "rmw_scatter runs on the fused-table CBOW path "
-                    "(-fused-tables 1 -neg-sharing G -model cbow)")
+                    "single-chip rmw_scatter runs on the fused-table CBOW "
+                    "path (-fused-tables 1 -neg-sharing G -model cbow); on "
+                    "a mesh it runs on the sharded slab body instead")
             if (self.use_pallas or self.dedup_block or self.hot_rows
                     or self.neg_stratify or self.neg_dense_hot):
                 raise ValueError(
                     "rmw_scatter is the plain-scatter capacity path; it "
                     "does not compose with use_pallas/dedup_block/"
                     "hot_rows/neg_stratify/neg_dense_hot")
-            if self.mesh_shape:
-                raise ValueError(
-                    "rmw_scatter is single-chip only (the sharded bodies "
-                    "scatter per-shard deltas; shard the vocab instead)")
             if self.steps_per_chunk > 1:
                 # rmw_scatter exists for 1x-table peak HBM; lax.scan
                 # double-buffers the carried table and silently negates it

@@ -111,6 +111,96 @@ def _sweep_call(table, prows, poffs, meta, first, window: int, chunk: int,
     )(meta, first, table, prows, poffs)
 
 
+def plan_slots(N: int, nwin: int, chunk: int) -> int:
+    """Static slot-chunk capacity: every touched window wastes < 1 chunk."""
+    return N // chunk + min(nwin, N) + (1 if N % chunk else 0)
+
+
+def sweep_plan(ids, V: int, window: int = 512, chunk: int = 128):
+    """Placement plan for scatter_add_sweep_planned: a pure function of the
+    ids alone, so it can be HOISTED out of the step loop (batched over an
+    S-step chunk with vmap) when the ids are known ahead — slab token ids
+    come from the precomputed epoch and negatives can be pre-drawn with the
+    same per-step keys, so the plan costs ~nothing amortized.
+
+    All slot-level arrays are derived from PER-CHUNK metadata ([K] ints,
+    searchsorted into [nwin+1] tables) broadcast with an in-chunk iota —
+    the earlier per-slot formulation (searchsorted + int gathers over
+    K*chunk elements) measured ~2 ms/step on the v5e (tools/sweep_probe.py
+    stage2, 2026-08-19); this one leaves only two [K*chunk] int gathers
+    (order/sids at the source positions).
+
+    Returns (g, poffs, meta, first): g [K*chunk] source-row index (N = zero
+    row), poffs [K, 8, chunk] in-window offsets (-1 pad), meta [K] window of
+    each chunk, first [K] first-chunk-of-window flags.
+    """
+    (N,) = ids.shape
+    nwin = V // window
+    K = plan_slots(N, nwin, chunk)
+
+    # one sort yields BOTH sorted ids and the permutation — `argsort` then
+    # `ids[order]` would add a [N] element gather, and TPU int32 element
+    # gathers are serialized (~20 ns/el: the old per-slot formulation's
+    # order[srcc]/sids[srcc] gathers measured ~1.7 ms/step even batched)
+    iota = jnp.arange(N, dtype=jnp.int32)
+    sids, order = lax.sort_key_val(ids, iota)
+    # window spans of the sorted stream; ids >= V (drop sentinel) fall
+    # beyond the last edge and are never covered by any slot
+    edges = jnp.searchsorted(
+        sids, (jnp.arange(nwin + 1, dtype=jnp.int32) * window)
+        .astype(ids.dtype)).astype(jnp.int32)                 # [nwin+1]
+    spans = edges[1:] - edges[:-1]
+    cpw = -(-spans // chunk)                                  # chunks/window
+    pad_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cpw) * chunk])  # [nwin+1]
+
+    cstart = jnp.arange(K, dtype=jnp.int32) * chunk           # [K]
+    meta = jnp.clip(
+        jnp.searchsorted(pad_start, cstart, side="right").astype(jnp.int32)
+        - 1, 0, nwin - 1)
+    src0 = jnp.clip(edges[meta] + (cstart - pad_start[meta]), 0, N)  # [K]
+    lim = edges[meta + 1]                                     # [K]
+    live = cstart < pad_start[nwin]                           # [K]
+
+    # per-slot arrays as K CONTIGUOUS chunk-length slices of the sorted
+    # stream (vmapped dynamic_slice = slice-granular DMA), never as
+    # [K*chunk] element gathers
+    src = src0[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    valid = live[:, None] & (src < lim[:, None])              # [K, chunk]
+    pad_tail = jnp.full((chunk,), N, jnp.int32)
+    order_p = jnp.concatenate([order, pad_tail])
+    sids_p = jnp.concatenate([sids, pad_tail])
+
+    def slice_at(arr):
+        return jax.vmap(
+            lambda s0: lax.dynamic_slice(arr, (s0,), (chunk,)))(src0)
+
+    g = jnp.where(valid, slice_at(order_p), N).reshape(-1)    # N -> zero row
+    poffs = jnp.where(valid, slice_at(sids_p) - (meta * window)[:, None],
+                      jnp.int32(-1))
+    poffs = jnp.broadcast_to(poffs.reshape(K, 1, chunk), (K, 8, chunk))
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (meta[1:] != meta[:-1]).astype(jnp.int32)])
+    return g, poffs, meta, first
+
+
+def scatter_add_sweep_planned(table, plan, rows, window: int = 512,
+                              chunk: int = 128,
+                              interpret: bool | None = None):
+    """Apply a sweep_plan: gather the gradient rows into their planned slots
+    (the only per-step 2-D cost) and run the swept placement kernel."""
+    g, poffs, meta, first = plan
+    N, C = rows.shape
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    prows = jnp.concatenate(
+        [rows.astype(table.dtype),
+         jnp.zeros((1, C), table.dtype)])[g]                  # [K*chunk, C]
+    return _sweep_call(table, prows, poffs, meta, first,
+                       window, chunk, interpret)
+
+
 def scatter_add_sweep(table, ids, rows, window: int = 512, chunk: int = 128,
                       interpret: bool | None = None):
     """table.at[ids].add(rows) via the swept MXU placement kernel.
@@ -119,6 +209,8 @@ def scatter_add_sweep(table, ids, rows, window: int = 512, chunk: int = 128,
     train.py's rmw-storage padding machinery covers both); ids [N] int32 —
     in [0, V) or the 0x7FFFFFF0 drop sentinel; rows [N, C].
     Plain traceable function: call inside your (donated) training jit.
+    When the ids are known before the loop, use sweep_plan +
+    scatter_add_sweep_planned to hoist the sort/slot work out of the step.
     """
     N, C = rows.shape
     V = table.shape[0]
@@ -132,41 +224,6 @@ def scatter_add_sweep(table, ids, rows, window: int = 512, chunk: int = 128,
         raise ValueError(
             f"scatter_add_sweep requires row width % 128 == 0 on TPU "
             f"(got {C}); pad the table columns at allocation")
-    nwin = V // window
-
-    order = jnp.argsort(ids)
-    sids = ids[order]
-    # window spans of the sorted stream; ids >= V (drop sentinel) fall
-    # beyond the last edge and are never covered by any slot
-    edges = jnp.searchsorted(
-        sids, (jnp.arange(nwin + 1, dtype=jnp.int32) * window)
-        .astype(ids.dtype)).astype(jnp.int32)                 # [nwin+1]
-    spans = edges[1:] - edges[:-1]
-    cpw = -(-spans // chunk)                                  # chunks/window
-    pad_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cpw) * chunk])  # [nwin+1]
-
-    # static slot capacity: every touched window wastes < 1 chunk
-    K = N // chunk + min(nwin, N) + (1 if N % chunk else 0)
-    slot = jnp.arange(K * chunk, dtype=jnp.int32)
-    w_of = jnp.clip(
-        jnp.searchsorted(pad_start, slot, side="right").astype(jnp.int32) - 1,
-        0, nwin - 1)
-    src = edges[w_of] + (slot - pad_start[w_of])
-    valid = (slot < pad_start[nwin]) & (src < edges[w_of + 1])
-    srcc = jnp.clip(src, 0, N - 1)
-    g = jnp.where(valid, order[srcc], N)                      # N -> zero row
-    prows = jnp.concatenate(
-        [rows.astype(table.dtype),
-         jnp.zeros((1, C), table.dtype)])[g]                  # [K*chunk, C]
-    poffs = jnp.where(valid, sids[srcc] - w_of * window,
-                      jnp.int32(-1)).reshape(K, 1, chunk)
-    poffs = jnp.broadcast_to(poffs, (K, 8, chunk))
-    meta = w_of.reshape(K, chunk)[:, 0]
-    first = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32),
-         (meta[1:] != meta[:-1]).astype(jnp.int32)])
-
-    out = _sweep_call(table, prows.reshape(K * chunk, C), poffs, meta, first,
-                      window, chunk, interpret)
-    return out
+    plan = sweep_plan(ids, V, window=window, chunk=chunk)
+    return scatter_add_sweep_planned(table, plan, rows, window=window,
+                                     chunk=chunk, interpret=interpret)

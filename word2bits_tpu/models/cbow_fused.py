@@ -51,7 +51,7 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                     strat_lanes=None, dense_hot=None,
                     hot_pallas: bool = False, banded: int = 0,
                     rmw_scatter: bool = False, col_pad: int = 0,
-                    scatter_impl: str = "add"):
+                    scatter_impl: str = "add", span_plan=None):
     """One synchronous step on the fused (V, 2D) table. Shared negatives
     required (the fused layout exists for the optimized path).
     use_pallas routes the negative score/gradient phase through the fused
@@ -269,13 +269,13 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                     + 0.0 * ids[:1].astype(jnp.float32))
             return lax.dynamic_update_slice(tab, head.astype(tab.dtype),
                                             (0, 0))
-    elif scatter_impl == "sweep":
-        # swept MXU placement (kernels/sweep_scatter.py): slab + negative
-        # rows combine into ONE sorted sweep below — `scat` must not be
-        # reached (the combined call replaces both call sites)
+    elif scatter_impl in ("sweep", "span"):
+        # swept MXU placement (kernels/sweep_scatter.py / span_scatter.py):
+        # slab + negative rows combine into ONE sorted sweep below — `scat`
+        # must not be reached (the combined call replaces both call sites)
         def scat(tab, ids, rows):
-            raise AssertionError("sweep handles the update in one combined "
-                                 "call; scat() must not be reached")
+            raise AssertionError("sweep/span handle the update in one "
+                                 "combined call; scat() must not be reached")
     else:
         if scatter_impl != "add":
             raise ValueError(f"unknown scatter_impl {scatter_impl!r}")
@@ -350,21 +350,34 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                 jnp.concatenate([jnp.zeros_like(nc), nc],
                                 axis=1).astype(table.dtype))
             return table, loss
-    elif scatter_impl == "sweep":
+    elif scatter_impl in ("sweep", "span"):
         # ONE combined sorted sweep for slab + negative rows: a single
-        # argsort/placement pass over all ~(B+2W + T*P*K) update rows
-        # (kernels/sweep_scatter.py) — same sums as the two .at[].add
-        # calls modulo float summation order
-        from word2bits_tpu.kernels.sweep_scatter import scatter_add_sweep
+        # sort/placement pass over all ~(B+2W + T*P*K) update rows
+        # (kernels/sweep_scatter.py / span_scatter.py) — same sums as the
+        # two .at[].add calls modulo float summation order.  For "span"
+        # with a hoisted plan (make_fused_train_chunk pre-draws the
+        # negatives and batches span_plan over the whole scan chunk), the
+        # per-step cost is one [N]-row permutation gather + the kernel.
         neg_rows = jnp.concatenate(
             [jnp.zeros(dv_neg.reshape(-1, D).shape, dt),
              dv_neg.reshape(-1, D)], axis=1)
         all_rows = jnp.concatenate([fused_rows, neg_rows])
         if col_pad:
             all_rows = jnp.pad(all_rows, ((0, 0), (0, col_pad)))
-        all_ids = jnp.concatenate([slab_ids, negs.reshape(-1)])
-        table = scatter_add_sweep(table, all_ids,
-                                  all_rows.astype(table.dtype))
+        if scatter_impl == "span":
+            from word2bits_tpu.kernels.span_scatter import (
+                scatter_add_span, scatter_add_span_planned)
+            if span_plan is not None:
+                table = scatter_add_span_planned(table, span_plan, all_rows)
+            else:
+                all_ids = jnp.concatenate([slab_ids, negs.reshape(-1)])
+                table = scatter_add_span(table, all_ids,
+                                         all_rows.astype(table.dtype))
+        else:
+            from word2bits_tpu.kernels.sweep_scatter import scatter_add_sweep
+            all_ids = jnp.concatenate([slab_ids, negs.reshape(-1)])
+            table = scatter_add_sweep(table, all_ids,
+                                      all_rows.astype(table.dtype))
         return table, loss
     else:
         table = scat(table, slab_ids, fused_rows)
@@ -416,23 +429,23 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
             "rmw_scatter is the plain-scatter capacity path; it does not "
             "compose with use_pallas/dedup_block/hot_rows/strat_lanes/"
             "dense_hot (those restructure the scatter themselves)")
-    if col_pad and not (rmw_scatter or scatter_impl == "sweep"):
+    swept = scatter_impl in ("sweep", "span")
+    if col_pad and not (rmw_scatter or swept):
         raise ValueError("col_pad only applies with rmw_scatter / "
-                         "scatter_impl='sweep'")
-    if (rmw_scatter or scatter_impl == "sweep") \
-            and (2 * hyper.size + col_pad) % 128:
+                         "scatter_impl='sweep'/'span'")
+    if (rmw_scatter or swept) and (2 * hyper.size + col_pad) % 128:
         raise ValueError(
-            f"rmw_scatter/sweep store rows of width 2*size+col_pad = "
+            f"rmw_scatter/sweep/span store rows of width 2*size+col_pad = "
             f"{2 * hyper.size + col_pad}; pad to a multiple of 128 lanes "
             f"(col_pad={-(2 * hyper.size) % 128} for size={hyper.size})")
-    if scatter_impl == "sweep" and (rmw_scatter or dedup_block or hot_rows
-                                    or strat_lanes is not None
-                                    or dense_hot is not None):
-        raise ValueError("scatter_impl='sweep' replaces the plain scatter; "
-                         "it does not compose with rmw_scatter/dedup_block/"
-                         "hot_rows/strat_lanes/dense_hot")
+    if swept and (rmw_scatter or dedup_block or hot_rows
+                  or strat_lanes is not None or dense_hot is not None):
+        raise ValueError("scatter_impl='sweep'/'span' replaces the plain "
+                         "scatter; it does not compose with rmw_scatter/"
+                         "dedup_block/hot_rows/strat_lanes/dense_hot")
 
-    def one_step(table, s, k, tokens, sent_ids, atab, scalars, cold_pos):
+    def one_step(table, s, k, tokens, sent_ids, atab, scalars, cold_pos,
+                 pre_negs=None, span_plan=None):
         k_neg, k_win = jax.random.split(k)
         base = scalars.base0 + s * B
         wca = scalars.wca_start + s.astype(jnp.float32) * scalars.wca_per_step
@@ -441,7 +454,11 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
         slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
         slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
         shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
-        if strat_lanes is not None:
+        if pre_negs is not None:
+            # span path: negatives pre-drawn at chunk entry with the SAME
+            # per-step k_neg (so the hoisted plan's ids are the step's ids)
+            negs = pre_negs
+        elif strat_lanes is not None:
             hot_t = AliasTable(prob=atab.prob[0], alias=atab.alias[0])
             cold_t = AliasTable(prob=atab.prob[1], alias=atab.alias[1])
             negs = draw_negatives_stratified(k_neg, hot_t, cold_t, neg_rows,
@@ -469,7 +486,8 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                                           (dense_hot[1], dense_hot[2])),
                                hot_pallas=hot_pallas, banded=banded,
                                rmw_scatter=rmw_scatter, col_pad=col_pad,
-                               scatter_impl=scatter_impl)
+                               scatter_impl=scatter_impl,
+                               span_plan=span_plan)
 
     if steps == 1:
         # No-scan capacity path: lax.scan double-buffers the carried table
@@ -492,6 +510,42 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
               cold_pos=None):
         atab = AliasTable(prob=alias_prob, alias=alias_alias)
         keys = jax.random.split(key, steps)
+
+        if scatter_impl == "span":
+            # hoist the span pre-pass out of the scan: every step's scatter
+            # ids are knowable at chunk entry — slab ids come from `tokens`
+            # and negatives are pre-drawn here with the step's own k_neg
+            # (identical draws, so updates are unchanged).  One batched
+            # sort + vector ops cover all S steps; the scan consumes the
+            # plans as xs and each step pays only the row permutation
+            # gather + the kernel (kernels/span_scatter.py).
+            from word2bits_tpu.kernels.span_scatter import span_plan
+
+            def ids_of(s, k):
+                k_neg, _ = jax.random.split(k)
+                base = scalars.base0 + s * B
+                slab_ids = jnp.maximum(
+                    lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,)), 0)
+                negs = draw_negatives(k_neg, atab, (neg_rows, P * K),
+                                      vocab_size)
+                return jnp.concatenate([slab_ids, negs.reshape(-1)]), negs
+
+            ids_all, negs_all = jax.vmap(ids_of)(
+                jnp.arange(steps, dtype=jnp.int32), keys)
+            plans = jax.vmap(lambda i: span_plan(i, table.shape[0]))(ids_all)
+
+            def body_span(carry, xs):
+                table, loss = carry
+                s, k, pn, plan = xs
+                table, step_loss = one_step(table, s, k, tokens, sent_ids,
+                                            atab, scalars, cold_pos,
+                                            pre_negs=pn, span_plan=plan)
+                return (table, loss + step_loss), None
+
+            xs = (jnp.arange(steps, dtype=jnp.int32), keys, negs_all, plans)
+            (table, loss), _ = lax.scan(body_span, (table, jnp.float32(0.0)),
+                                        xs)
+            return table, loss
 
         def body(carry, xs):
             table, loss = carry

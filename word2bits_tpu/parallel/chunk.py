@@ -33,7 +33,7 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
                        batch_size: int, steps: int, neg_sharing: int = 0,
                        neg_pool: int = 1, donate: bool = True,
                        dense_hot=None, hot_rows: int = 0, hot_layout=None,
-                       banded: int = 0):
+                       banded: int = 0, rmw: bool = False):
     """jit(shard_map) chunk running `steps` sharded minibatch steps.
 
     `body_fn` is one of the per-step sharded bodies
@@ -97,6 +97,12 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
             if banded:
                 # banded windowed sums (cbow slab body only; config gates it)
                 body_kw["banded"] = banded
+            if rmw:
+                # in-place per-shard Pallas RMW scatter (cbow slab body
+                # only; config gates it) — pair with steps=1 for the 1x-HBM
+                # capacity benefit, since the scan path double-buffers the
+                # carried tables
+                body_kw["rmw"] = True
             if dense_hot is not None:
                 from word2bits_tpu.sampling.unigram import _alias_draw
                 negs = hot_rows + _alias_draw(
@@ -117,9 +123,18 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
                 **body_kw)
             return (u_local, v_local, loss + step_loss), None
 
-        xs = (jnp.arange(steps, dtype=jnp.int32), keys)
-        (u_local, v_local, loss), _ = lax.scan(
-            body, (u_local, v_local, jnp.float32(0.0)), xs)
+        if steps == 1:
+            # no-scan path: lax.scan double-buffers big carried tables
+            # (~2x peak HBM per shard); a direct call keeps the donated
+            # shard aliased in place — the mesh capacity configuration
+            # (pair with -rmw-scatter, which needs it to stay 1x)
+            (u_local, v_local, loss), _ = body(
+                (u_local, v_local, jnp.float32(0.0)),
+                (jnp.int32(0), keys[0]))
+        else:
+            xs = (jnp.arange(steps, dtype=jnp.int32), keys)
+            (u_local, v_local, loss), _ = lax.scan(
+                body, (u_local, v_local, jnp.float32(0.0)), xs)
         # per-step losses are already psum'd over "data" inside body_fn and
         # are identical across vocab shards; the psum/nv proves replication
         loss = lax.psum(loss, VOCAB_AXIS) / nv
@@ -127,10 +142,14 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
 
     pp = P(VOCAB_AXIS, None)
     rep = P()
+    # check_vma=False: the rmw body's pallas_call cannot declare its
+    # varying-mesh-axes type (jax.ShapeDtypeStruct has no axis context in
+    # the kernel wrapper); the rmw==plain equality tests are the checker
     mapped = jax.shard_map(
         chunk, mesh=mesh,
         in_specs=(pp, pp, rep, rep, rep, rep, rep, rep),
         out_specs=(pp, pp, rep),
+        check_vma=not rmw,
     )
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(mapped, donate_argnums=donate_argnums)

@@ -39,7 +39,7 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
                        negs, alpha, hyper: CBOWHyper, B_global: int,
                        neg_sharing: int, vocab_shard_size: int,
                        neg_pool: int = 1, dense_hot=None, hot_layout=None,
-                       banded: int = 0):
+                       banded: int = 0, rmw: bool = False):
     """Runs inside shard_map. Global inputs replicated; params vocab-sharded.
 
     dense_hot = (w_cold, hot_w[H]) enables exact hot-stratum negatives
@@ -252,6 +252,46 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
             [jnp.pad(mc[:, oi], (W + o, W - o))
              for oi, o in enumerate(offsets)]), axis=0)
     du_slab = du_slab - two_ar * u_slab * cnt[:, None]
+
+    if rmw:
+        # -rmw-scatter on the mesh (capacity path): apply ROW updates to the
+        # local shard IN PLACE via the Pallas group-RMW kernel with local
+        # ids (non-owned rows -> the drop sentinel) instead of a dense
+        # [Vs, D] delta + psum + add — peak HBM stays 1x table per shard.
+        # The data axis exchanges the (ids, rows) lists (all_gather, ~N*D
+        # bytes) rather than dense deltas (~Vs*D): duplicate ids from
+        # different data shards accumulate through the kernel's sequential
+        # blocks exactly like the serialized scatter.
+        if dv_hot is not None:
+            raise ValueError("rmw does not compose with dense_hot "
+                             "(config validation rejects it upstream)")
+        from word2bits_tpu.kernels.scatter_pallas import scatter_add_rmw
+        DROP = jnp.int32(0x7FFFFFF0)
+        my = lax.axis_index(VOCAB_AXIS)
+
+        def to_local(ids):
+            if hot_layout is None:
+                owner = ids // vocab_shard_size
+                local = ids % vocab_shard_size
+            else:
+                owner, local = hot_layout.owner_local(ids)
+            return jnp.where(owner == my, local, DROP)
+
+        ids_v = jnp.concatenate([centers, neg_rows_flat])
+        rows_v = jnp.concatenate([dv_center, dv_neg_flat])
+        ids_u = slab_ids
+        rows_u = du_slab
+        if lax.axis_size(DATA_AXIS) > 1:
+            ids_v = lax.all_gather(ids_v, DATA_AXIS, tiled=True)
+            rows_v = lax.all_gather(rows_v, DATA_AXIS, tiled=True)
+            ids_u = lax.all_gather(ids_u, DATA_AXIS, tiled=True)
+            rows_u = lax.all_gather(rows_u, DATA_AXIS, tiled=True)
+        v_local = scatter_add_rmw(v_local, to_local(ids_v),
+                                  rows_v.astype(v_local.dtype))
+        u_local = scatter_add_rmw(u_local, to_local(ids_u),
+                                  rows_u.astype(u_local.dtype))
+        loss = lax.psum(loss, DATA_AXIS)
+        return u_local, v_local, loss
 
     # scatter into local shard deltas; sum over the data axis
     ones_b = jnp.ones(centers.shape, bool)

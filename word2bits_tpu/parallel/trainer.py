@@ -57,12 +57,21 @@ class ShardedTrainer:
                 and -(-cfg.hot_rows // self.nv) * self.nv < up.shape[0]):
             from word2bits_tpu.parallel.layout import make_hot_layout
             self.layout = make_hot_layout(up.shape[0], self.nv, cfg.hot_rows)
+        if cfg.rmw_scatter:
+            # per-shard in-place Pallas RMW needs the shard row count
+            # aligned to the dtype's sublane group (kernels/scatter_pallas.
+            # group_rows); bump the row padding to nv * group multiples
+            from word2bits_tpu.kernels.scatter_pallas import group_rows
+            mult = self.nv * group_rows(up.dtype)
+            up = pad_vocab_rows(up, mult)
+            vp = pad_vocab_rows(vp, mult)
         self.chunk_fn = make_sharded_chunk(
             body, hyper, self.mesh, up.shape[0], vocab_size,
             cfg.batch_size, cfg.steps_per_chunk,
             neg_sharing=cfg.neg_sharing, neg_pool=cfg.neg_pool,
             dense_hot=dense_hot, hot_rows=cfg.hot_rows,
-            hot_layout=self.layout, banded=cfg.banded_tile)
+            hot_layout=self.layout, banded=cfg.banded_tile,
+            rmw=cfg.rmw_scatter)
         if self.layout is not None:
             from word2bits_tpu.parallel.layout import to_layout
             up, vp = to_layout(up, self.layout), to_layout(vp, self.layout)
