@@ -80,13 +80,13 @@ VARIANTS = [
     dict(name="span_banded256_S128", banded=256, steps_per_chunk=128,
          scatter_impl="span"),
     dict(name="span_S128", steps_per_chunk=128, scatter_impl="span"),
-    dict(name="span_banded256_S64", banded=256, steps_per_chunk=64,
-         scatter_impl="span"),
-    dict(name="banded256", banded=256),
-    dict(name="banded256_S128", banded=256, steps_per_chunk=128),
+    # previous round's winner as the fallback; the set is kept SMALL —
+    # r3 bench-child runs showed the remote backend can wedge
+    # (InvalidArgument on every later variant) after many big compiled
+    # variants accumulate in one process, and a trimmed set keeps the
+    # winner early and the process light
     dict(name="banded256_S256", banded=256, steps_per_chunk=256),
-    dict(name="S64", steps_per_chunk=64),
-    dict(name="hot2048_banded256", hot_rows=2048, banded=256),
+    dict(name="banded256_S128", banded=256, steps_per_chunk=128),
 ]
 BENCH_SECONDS = 8.0       # per-variant timed window
 CHILD_BUDGET = 440.0      # stop starting variants near the supervisor limit
@@ -128,62 +128,92 @@ def _read_partial():
         return None
 
 
-def _supervise() -> int:
-    """Run the measurement in a child; retry on failure/hang with backoff.
+# Variant sets, one CHILD PROCESS each: the remote backend reproducibly
+# wedges (InvalidArgument on everything after) once ~3 heavy variants have
+# compiled in one process (r3 logs; jax.clear_caches does not help), so the
+# adjudication is split — the first set carries the expected winner and gets
+# the full retry schedule; later sets are pure upside, one attempt each.
+VARIANT_SETS = [
+    "base,span_banded256_S128",
+    "span_S128,banded256_S256",
+    "banded256_S128",
+]
 
-    The child measures the base config FIRST and records every improving
-    result to PARTIAL_FILE before trying the next variant, so even a child
-    killed mid-adjudication leaves a salvageable number (on POSIX,
-    TimeoutExpired carries no partial stdout — the sidecar file is the only
-    channel that survives a kill)."""
-    env = dict(os.environ, W2B_BENCH_CHILD="1")
+
+def _run_child(env) -> dict | None:
+    """One child process; returns its best-result object, if any."""
     try:
-        os.makedirs(CACHE, exist_ok=True)
         if os.path.exists(PARTIAL_FILE):
             os.remove(PARTIAL_FILE)  # stale results must not leak in
     except OSError:
         pass
-    attempts = len(RETRY_DELAYS) + 1
-    for i in range(attempts):
-        if i:
-            print(f"bench: attempt {i} failed; sleeping {RETRY_DELAYS[i-1]:.0f}s "
-                  f"to let the tunnel recover...", file=sys.stderr, flush=True)
-            time.sleep(RETRY_DELAYS[i - 1])
-        print(f"bench: attempt {i + 1}/{attempts}", file=sys.stderr, flush=True)
-        try:
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, timeout=CHILD_TIMEOUT,
-                               capture_output=True, text=True)
-        except subprocess.TimeoutExpired:
-            partial = _read_partial()
-            if partial is not None:
-                print("bench: child hung mid-adjudication; using its last "
-                      "recorded result", file=sys.stderr, flush=True)
-                print(json.dumps(partial), flush=True)
-                return 0
-            print(f"bench: child hung >{CHILD_TIMEOUT:.0f}s before any result; "
-                  "killed", file=sys.stderr, flush=True)
-            continue
-        # last JSON line wins: the child prints strictly improving results
-        for line in reversed(r.stdout.splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                try:
-                    obj = json.loads(line)
-                except ValueError:
-                    continue
-                if "metric" in obj:
-                    print(line, flush=True)
-                    return 0
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, timeout=CHILD_TIMEOUT,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
         partial = _read_partial()
         if partial is not None:
-            print(f"bench: child died rc={r.returncode} mid-adjudication; "
-                  "using its last recorded result", file=sys.stderr, flush=True)
-            print(json.dumps(partial), flush=True)
-            return 0
-        print(f"bench: child exited rc={r.returncode} without a result. "
-              "stderr tail:\n" + "\n".join(r.stderr.splitlines()[-8:]),
-              file=sys.stderr, flush=True)
+            print("bench: child hung mid-adjudication; using its last "
+                  "recorded result", file=sys.stderr, flush=True)
+            return partial
+        print(f"bench: child hung >{CHILD_TIMEOUT:.0f}s before any result; "
+              "killed", file=sys.stderr, flush=True)
+        return None
+    # last JSON line wins: the child prints strictly improving results
+    for line in reversed(r.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if "metric" in obj:
+                return obj
+    partial = _read_partial()
+    if partial is not None:
+        print(f"bench: child died rc={r.returncode} mid-adjudication; "
+              "using its last recorded result", file=sys.stderr, flush=True)
+        return partial
+    print(f"bench: child exited rc={r.returncode} without a result. "
+          "stderr tail:\n" + "\n".join(r.stderr.splitlines()[-8:]),
+          file=sys.stderr, flush=True)
+    return None
+
+
+def _supervise() -> int:
+    """Run the measurement in children; retry on failure/hang with backoff.
+
+    Each child records every improving result to PARTIAL_FILE before trying
+    its next variant, so even a child killed mid-adjudication leaves a
+    salvageable number (on POSIX, TimeoutExpired carries no partial stdout —
+    the sidecar file is the only channel that survives a kill)."""
+    try:
+        os.makedirs(CACHE, exist_ok=True)
+    except OSError:
+        pass
+    best = None
+    for si, vset in enumerate(VARIANT_SETS):
+        env = dict(os.environ, W2B_BENCH_CHILD="1", W2B_BENCH_VARIANTS=vset)
+        attempts = (len(RETRY_DELAYS) + 1) if si == 0 else 1
+        for i in range(attempts):
+            if i:
+                print(f"bench: attempt {i} failed; sleeping "
+                      f"{RETRY_DELAYS[i-1]:.0f}s to let the tunnel "
+                      "recover...", file=sys.stderr, flush=True)
+                time.sleep(RETRY_DELAYS[i - 1])
+            print(f"bench: set {si + 1}/{len(VARIANT_SETS)} [{vset}] "
+                  f"attempt {i + 1}/{attempts}", file=sys.stderr, flush=True)
+            obj = _run_child(env)
+            if obj is not None:
+                if best is None or obj.get("value", 0) > best.get("value", 0):
+                    best = obj
+                break
+        if si == 0 and best is None:
+            break  # the must-succeed set failed every attempt
+    if best is not None:
+        print(json.dumps(best), flush=True)
+        return 0
     print("bench: all attempts failed", file=sys.stderr, flush=True)
     return 1
 
@@ -357,10 +387,23 @@ def main():
             float(loss)  # host fetch forces the dependency chain
             if time.perf_counter() - t0 > bench_seconds:
                 break
-        return words_done / (time.perf_counter() - t0)
+        wps = words_done / (time.perf_counter() - t0)
+        # release this variant's table buffer and compiled executables
+        # before the next variant compiles: accumulated per-variant state
+        # reproducibly wedges the remote backend (InvalidArgument on every
+        # later variant) after ~3 heavy variants in one process
+        del params, chunk_fn
+        import gc
+        gc.collect()
+        jax.clear_caches()
+        return wps
 
     # CPU smoke mode measures only the base config (minutes-per-variant there)
     variants = VARIANTS[:1] if forced_cpu else VARIANTS
+    only = os.environ.get("W2B_BENCH_VARIANTS")
+    if only and not forced_cpu:
+        names = only.split(",")
+        variants = [v for v in VARIANTS if v["name"] in names]
     best = None
     for vi, var in enumerate(variants):
         if vi and time.perf_counter() - t_start > CHILD_BUDGET:

@@ -108,3 +108,51 @@ def test_train_with_device_epoch(tmp_path):
     assert len(words) > 5 and np.isfinite(vecs).all()
     # 1-bit output rows are +-1/3 (reference README.md:122-132)
     np.testing.assert_allclose(np.abs(vecs), 1 / 3, rtol=1e-5)
+
+
+def test_train_with_device_epoch_multisegment(tmp_path):
+    """-device-epoch with -segment-tokens smaller than the corpus: the
+    epoch builds device-side per SEGMENT ([nseg, seg_len] upload, per-
+    segment key fold) instead of falling back to the host rebuild
+    (VERDICT r2 item 7)."""
+    from tests.test_integration import _make_corpus
+    from word2bits_tpu.config import Word2BitsConfig
+    from word2bits_tpu.io.vectors import read_vectors
+    from word2bits_tpu.train import train
+
+    corpus = str(tmp_path / "corpus.txt")
+    _make_corpus(corpus)
+    out = str(tmp_path / "vec.bin")
+    cfg = Word2BitsConfig(
+        train_file=corpus, output_file=out, bitlevel=1, size=16, window=3,
+        negative=5, iter=2, min_count=2, alpha=0.05, sample=1e-3, binary=True,
+        batch_size=64, steps_per_chunk=8, device_epoch=True,
+        segment_tokens=512)   # forces several device-built segments
+    res = train(cfg)
+    assert all(np.isfinite(l) for l in res.epoch_losses)
+    words, vecs = read_vectors(out)
+    assert len(words) > 5 and np.isfinite(vecs).all()
+    np.testing.assert_allclose(np.abs(vecs), 1 / 3, rtol=1e-5)
+
+
+def test_train_with_device_epoch_on_mesh(tmp_path):
+    """-device-epoch on a (data, vocab) mesh: the device-built epoch arrays
+    broadcast replicated into the sharded chunk (VERDICT r2 item 7)."""
+    from tests.test_integration import _make_corpus
+    from word2bits_tpu.config import Word2BitsConfig
+    from word2bits_tpu.io.vectors import read_vectors
+    from word2bits_tpu.train import train
+
+    corpus = str(tmp_path / "corpus.txt")
+    _make_corpus(corpus)
+    out = str(tmp_path / "vec.bin")
+    cfg = Word2BitsConfig(
+        train_file=corpus, output_file=out, bitlevel=1, size=16, window=3,
+        negative=5, iter=2, min_count=2, alpha=0.05, sample=1e-3, binary=True,
+        batch_size=64, steps_per_chunk=4, device_epoch=True,
+        mesh_shape={"data": 2, "vocab": 4})
+    res = train(cfg)
+    assert all(np.isfinite(l) for l in res.epoch_losses)
+    words, vecs = read_vectors(out)
+    assert len(words) > 5 and np.isfinite(vecs).all()
+    np.testing.assert_allclose(np.abs(vecs), 1 / 3, rtol=1e-5)

@@ -144,8 +144,8 @@ def test_rejects_unpadded_vocab():
                          jnp.zeros((4, 128)), window=512, interpret=True)
 
 
-@pytest.mark.parametrize("steps", [1, 2])
-def test_fused_chunk_span_matches_base(rng, steps):
+@pytest.mark.parametrize("steps,pool", [(1, 1), (2, 1), (2, 8)])
+def test_fused_chunk_span_matches_base(rng, steps, pool):
     """The fused training chunk with scatter_impl='span' (pre-drawn
     negatives + hoisted batched plan as scan xs) == the base chunk (padded
     storage; same updates modulo float order)."""
@@ -167,7 +167,7 @@ def test_fused_chunk_span_matches_base(rng, steps):
     key = jax.random.PRNGKey(3)
 
     base = make_fused_train_chunk(hyper, V, B, steps, neg_sharing=G,
-                                  donate=False)
+                                  neg_pool=pool, donate=False)
     t_base, l_base = base(table, tokens, sents, atab.prob, atab.alias,
                           scalars, key)
 
@@ -175,8 +175,8 @@ def test_fused_chunk_span_matches_base(rng, steps):
     vpad = (-V) % 512
     table_pad = jnp.pad(table, ((0, vpad), (0, col_pad)))
     span = make_fused_train_chunk(hyper, V, B, steps, neg_sharing=G,
-                                  donate=False, scatter_impl="span",
-                                  col_pad=col_pad)
+                                  neg_pool=pool, donate=False,
+                                  scatter_impl="span", col_pad=col_pad)
     t_span, l_span = span(table_pad, tokens, sents, atab.prob, atab.alias,
                           scalars, key)
     np.testing.assert_allclose(float(l_span), float(l_base), rtol=1e-5)

@@ -49,9 +49,15 @@ def test_expected_kept_fraction_bounds():
 def test_streamed_training_runs(tmp_path):
     corpus = str(tmp_path / "c.txt")
     _make_corpus(corpus, n_sentences=120)
+    # sample=0 pins the per-epoch token count: the epoch LOSS SUM is only
+    # comparable across epochs when both kept the same tokens (with
+    # subsampling on, the draw variance at this corpus size swamps the
+    # learning signal — seen when -device-epoch's threefry stream replaced
+    # the host numpy stream here)
     cfg = Word2BitsConfig(train_file=corpus, output_file=str(tmp_path / "v"),
                           iter=2, size=8, window=2, negative=3, min_count=1,
                           batch_size=32, steps_per_chunk=4, debug=0,
+                          sample=0.0,
                           segment_tokens=200)  # forces many segments
     result = train(cfg)
     assert len(result.epoch_losses) == 2

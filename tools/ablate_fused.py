@@ -77,6 +77,17 @@ def main():
                                 col_pad=(-2 * D) % 128)),
         ("span_S256", 256, dict(scatter_impl="span",
                                 col_pad=(-2 * D) % 128)),
+        # exact per-center semantics (neg_pool=G): the 196k-row scatter is
+        # this mode's 9x cost — span is the direct attack (VERDICT r2 #5)
+        ("poolG_S32", 32, dict(neg_pool=G)),
+        ("span_poolG_S32", 32, dict(scatter_impl="span", neg_pool=G,
+                                    col_pad=(-2 * D) % 128)),
+        ("span_poolG_w128_S32", 32, dict(scatter_impl="span", neg_pool=G,
+                                         col_pad=(-2 * D) % 128,
+                                         span_window=128)),
+        ("span_poolG_w128_S64", 64, dict(scatter_impl="span", neg_pool=G,
+                                         col_pad=(-2 * D) % 128,
+                                         span_window=128)),
         ("uniq_probe_S128", 128, dict(scatter_impl="uniq_probe")),
         ("uniqsort_probe_S128", 128, dict(scatter_impl="uniqsort_probe")),
     ]

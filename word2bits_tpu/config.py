@@ -363,13 +363,14 @@ class Word2BitsConfig:
     def device_epoch_on(self) -> bool:
         """Resolved -device-epoch: AUTO (None) turns it on unless the
         config needs host-precomputed cold positions (-hot-rows without
-        -neg-dense-hot) or runs on a mesh.  The RAW field keeps the None
-        sentinel so dataclasses.replace derivatives re-resolve (an
-        explicit 0/1 survives replace unchanged, and the validation above
-        rejects only an EXPLICIT 1 against hot_rows)."""
+        -neg-dense-hot).  Mesh configs build epochs device-side too (the
+        built arrays broadcast replicated over ICI; train._segments).  The
+        RAW field keeps the None sentinel so dataclasses.replace
+        derivatives re-resolve (an explicit 0/1 survives replace
+        unchanged, and the validation above rejects only an EXPLICIT 1
+        against hot_rows)."""
         if self.device_epoch is None:
-            return not (self.mesh_shape
-                        or (self.hot_rows and not self.neg_dense_hot))
+            return not (self.hot_rows and not self.neg_dense_hot)
         return bool(self.device_epoch)
 
     @property

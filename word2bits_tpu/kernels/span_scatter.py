@@ -52,9 +52,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 class SpanPlan(NamedTuple):
-    """Pure function of (ids, V, window, chunk) — hoistable/vmappable."""
+    """Pure function of (ids, V, window, chunk) — hoistable/vmappable.
+    sids is stored COMPACT [nb*chunk]; the kernel's 8-sublane-replicated
+    block view is broadcast at apply time (a hoisted plan would otherwise
+    hold 8x the ids — ~0.4 GB at the exact-semantics 200k-row shape)."""
     order: jnp.ndarray    # [nb*chunk] int32 source row index; N = zero row
-    sids: jnp.ndarray     # [nb, 8, chunk] int32 sorted ids (sentinel pad)
+    sids: jnp.ndarray     # [nb*chunk] int32 sorted ids (sentinel pad)
     wfirst: jnp.ndarray   # [nb] int32 first window of chunk
     wlast: jnp.ndarray    # [nb] int32 last window of chunk (-1: all pad)
     edges: jnp.ndarray    # [nwin+1] int32 window boundaries in sorted stream
@@ -236,9 +239,7 @@ def span_plan(ids, V: int, window: int = 512, chunk: int = 128) -> SpanPlan:
     wlast = jnp.where(live,
                       sids[jnp.clip(last_valid, 0, None)] // window,
                       jnp.int32(-1))
-    sids_blk = jnp.broadcast_to(
-        sids.reshape(nb, 1, chunk), (nb, 8, chunk))
-    return SpanPlan(order=order, sids=sids_blk, wfirst=wfirst,
+    return SpanPlan(order=order, sids=sids, wfirst=wfirst,
                     wlast=wlast, edges=edges)
 
 
@@ -253,7 +254,10 @@ def scatter_add_span_planned(table, plan: SpanPlan, rows,
     prows = jnp.concatenate(
         [rows.astype(table.dtype),
          jnp.zeros((1, C), table.dtype)])[plan.order]      # [nb*chunk, C]
-    return _span_call(table, prows, plan.sids, plan.wfirst, plan.wlast,
+    nb = plan.sids.shape[0] // chunk
+    sids_blk = jnp.broadcast_to(
+        plan.sids.reshape(nb, 1, chunk), (nb, 8, chunk))
+    return _span_call(table, prows, sids_blk, plan.wfirst, plan.wlast,
                       plan.edges, window, chunk, interpret)
 
 

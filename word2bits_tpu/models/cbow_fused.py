@@ -51,7 +51,8 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                     strat_lanes=None, dense_hot=None,
                     hot_pallas: bool = False, banded: int = 0,
                     rmw_scatter: bool = False, col_pad: int = 0,
-                    scatter_impl: str = "add", span_plan=None):
+                    scatter_impl: str = "add", span_plan=None,
+                    span_window: int = 512, span_chunk: int = 128):
     """One synchronous step on the fused (V, 2D) table. Shared negatives
     required (the fused layout exists for the optimized path).
     use_pallas routes the negative score/gradient phase through the fused
@@ -368,11 +369,14 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             from word2bits_tpu.kernels.span_scatter import (
                 scatter_add_span, scatter_add_span_planned)
             if span_plan is not None:
-                table = scatter_add_span_planned(table, span_plan, all_rows)
+                table = scatter_add_span_planned(
+                    table, span_plan, all_rows,
+                    window=span_window, chunk=span_chunk)
             else:
                 all_ids = jnp.concatenate([slab_ids, negs.reshape(-1)])
                 table = scatter_add_span(table, all_ids,
-                                         all_rows.astype(table.dtype))
+                                         all_rows.astype(table.dtype),
+                                         window=span_window, chunk=span_chunk)
         else:
             from word2bits_tpu.kernels.sweep_scatter import scatter_add_sweep
             all_ids = jnp.concatenate([slab_ids, negs.reshape(-1)])
@@ -397,7 +401,8 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                            dense_hot=None, hot_pallas: bool = False,
                            banded: int = 0,
                            rmw_scatter: bool = False, col_pad: int = 0,
-                           scatter_impl: str = "add"):
+                           scatter_impl: str = "add",
+                           span_window: int = 512, span_chunk: int = 128):
     """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key
     [, cold_pos]) -> (table, loss_sum); table is the fused (V, 2D) array.
 
@@ -487,7 +492,9 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                                hot_pallas=hot_pallas, banded=banded,
                                rmw_scatter=rmw_scatter, col_pad=col_pad,
                                scatter_impl=scatter_impl,
-                               span_plan=span_plan)
+                               span_plan=span_plan,
+                               span_window=span_window,
+                               span_chunk=span_chunk)
 
     if steps == 1:
         # No-scan capacity path: lax.scan double-buffers the carried table
@@ -532,7 +539,9 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
 
             ids_all, negs_all = jax.vmap(ids_of)(
                 jnp.arange(steps, dtype=jnp.int32), keys)
-            plans = jax.vmap(lambda i: span_plan(i, table.shape[0]))(ids_all)
+            plans = jax.vmap(lambda i: span_plan(
+                i, table.shape[0], window=span_window,
+                chunk=span_chunk))(ids_all)
 
             def body_span(carry, xs):
                 table, loss = carry

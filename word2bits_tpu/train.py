@@ -283,21 +283,37 @@ def train(cfg: Word2BitsConfig,
 
     # device-side epoch preparation (-device-epoch 1): upload the encoded
     # corpus once; per-epoch subsample+compact+sentence-id runs as one jitted
-    # pass (data/device_pipeline.py).  Single-segment single-chip path only.
-    use_device_epoch = bool(cfg.device_epoch_on and sharded is None
-                            and len(encoded) <= seg_tokens)
+    # pass (data/device_pipeline.py).  Segments of -segment-tokens raw
+    # tokens build device-side too (one fixed [nseg, seg_len] upload,
+    # per-segment key fold), and on a mesh the built arrays are broadcast
+    # replicated over ICI before the sharded chunk consumes them
+    # (VERDICT r2 item 7 — the flagship mesh config no longer falls back
+    # to the host epoch rebuild).
+    use_device_epoch = bool(cfg.device_epoch_on)
     if use_device_epoch:
         from word2bits_tpu.data.device_pipeline import \
             make_device_epoch_builder
         from word2bits_tpu.data.pipeline import subsample_keep_probs
-        encoded_dev = jnp.asarray(np.asarray(encoded, np.int32))
+        dev_seg_len = int(max(min(len(encoded), seg_tokens), 1))
+        nseg_dev = max(1, -(-len(encoded) // dev_seg_len))
+        enc_np = np.asarray(encoded, np.int32)
+        dev_pad = nseg_dev * dev_seg_len - len(enc_np)
+        if dev_pad:
+            # pad the tail segment with `</s>` (id 0): subsample-exempt and
+            # emits no kept tokens, so it only appends empty sentences
+            enc_np = np.concatenate([enc_np, np.zeros(dev_pad, np.int32)])
+        encoded_dev = jnp.asarray(enc_np.reshape(nseg_dev, dev_seg_len))
         keep_probs_dev = jnp.asarray(subsample_keep_probs(
             vocab.counts, cfg.sample, train_words).astype(np.float32))
         epoch_builder = make_device_epoch_builder(capacity, W)
-        # keyed by (seed, epoch), independent of the training key stream, so
-        # resume reproduces the same subsampling as the host pipeline's
-        # default_rng([seed, epoch])
+        # keyed by (seed, epoch[, segment]), independent of the training key
+        # stream, so resume reproduces the same subsampling as the host
+        # pipeline's default_rng([seed, epoch])
         ep_key_base = jax.random.PRNGKey(cfg.seed)
+        rep_sharding = None
+        if sharded is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep_sharding = NamedSharding(sharded.mesh, PartitionSpec())
 
     profiling = False
     if cfg.profile_dir:
@@ -325,9 +341,22 @@ def train(cfg: Word2BitsConfig,
         def _segments():
             """Yield (tokens_dev, sents_dev, n_tokens, source_len)."""
             if use_device_epoch:
-                ek = jax.random.fold_in(ep_key_base, epoch)
-                t, s, nt = epoch_builder(encoded_dev, keep_probs_dev, ek)
-                yield t, s, int(nt), len(encoded)  # one scalar fetch/epoch
+                ek0 = jax.random.fold_in(ep_key_base, epoch)
+                for si in range(nseg_dev):
+                    # single-segment keeps the historical (seed, epoch) key;
+                    # multi-segment folds the segment index in as well
+                    ek = (ek0 if nseg_dev == 1
+                          else jax.random.fold_in(ek0, si))
+                    t, s, nt = epoch_builder(encoded_dev[si], keep_probs_dev,
+                                             ek)
+                    if rep_sharding is not None:
+                        # ICI broadcast so the sharded chunk's replicated
+                        # in_specs see mesh-placed inputs (no host bounce)
+                        t = jax.device_put(t, rep_sharding)
+                        s = jax.device_put(s, rep_sharding)
+                    src = dev_seg_len if si < nseg_dev - 1 \
+                        else dev_seg_len - dev_pad
+                    yield t, s, int(nt), src  # one scalar fetch/segment
             else:
                 for ea in iter_epoch_segments(encoded, vocab.counts,
                                               cfg.sample, train_words, W,
