@@ -154,6 +154,18 @@ def main_big():
         ("bench-8192-64-densehot", 64, "cbow", 1,
          dict(fused_tables=True, dtype="bfloat16", batch_size=8192,
               hot_rows=256, neg_dense_hot=True)),
+        # neg_pool candidates (VERDICT r2 item 2): pooling decouples the
+        # sharing degree from the MXU tile — pool8 recovered per-center
+        # parity at small scale and is untested at this shape; alpha=0.10
+        # was the best large-batch LR probe (41.6 vs base 39.9)
+        ("bench-8192-64-pool8", 64, "cbow", 8,
+         dict(fused_tables=True, dtype="bfloat16", batch_size=8192)),
+        ("bench-8192-64-pool8-a0.10", 64, "cbow", 8,
+         dict(fused_tables=True, dtype="bfloat16", batch_size=8192,
+              alpha=0.10)),
+        ("bench-8192-64-pool4-a0.10", 64, "cbow", 4,
+         dict(fused_tables=True, dtype="bfloat16", batch_size=8192,
+              alpha=0.10)),
     ]
     extend = 0
     if "--extend" in sys.argv:  # grow every cached row to N seeds

@@ -1,0 +1,178 @@
+"""End-to-end FLAGSHIP run: 3.7M-vocab x 800d 1-bit training on one v5e.
+
+The reference's headline artifact is the full-Wikipedia 3.7M-vocab 1-bit
+800d vector set (reference README.md:39, 812 MB packed).  Round 2 proved
+the config *fits and steps* on one chip (tools/capacity_probe.py --rmw,
+28.2 ms/step); this tool executes the whole production path end-to-end
+(VERDICT r2 item 3 / ROADMAP 4d): corpus -> C++ vocab build -> bit-exact
+LCG init -> multi-epoch streamed training (bf16 fused tables, Pallas
+group-RMW scatter, no-scan donated steps, device-built epochs) ->
+full-state checkpoint -> resume for one more epoch -> reference-format
+binary + packed export -> analogy evaluation at 3.7M rows.
+
+Corpus: the structured-analogy generator (data/structured.py) supplies a
+learnable core whose analogy accuracy is measurable by construction, and a
+zipf tail of synthetic words pads the vocabulary to 3.7M distinct types
+(every tail word appears at least once; zipf-weighted filler supplies
+realistic frequency mass).  No network egress exists here, so this is the
+provable stand-in for the 2B-word Wikipedia stream.
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/flagship_run.py \
+      [--host-epoch] [--tokens 60000000] [--vocab 3700000] [--skip-eval]
+
+Writes the transcript to docs/flagship_r3_transcript.md (referenced by
+docs/large_vocab.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+CACHE = os.path.join(REPO, ".bench_cache")
+RUN = os.path.join(CACHE, "flagship")
+
+
+def _arg(name, default, cast):
+    if name in sys.argv:
+        return cast(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
+def make_corpus(path, questions, n_tokens, n_vocab, seed=0):
+    """Structured core + zipf tail to n_vocab distinct words (chunked IO)."""
+    from word2bits_tpu.data.structured import structured_corpus
+    t0 = time.perf_counter()
+    core = path + ".core"
+    if not os.path.exists(core):
+        # analogy-structured core scaled to ~27% of the corpus (~16M tokens
+        # of signal at the 60M-token flagship scale — the text8 regime)
+        n_core = min(1_200_000, max(1_000, n_tokens // 50))
+        structured_corpus(core, questions, n_sentences=n_core, seed=seed)
+    core_tokens = sum(len(l.split()) for l in open(core))
+    n_tail_vocab = n_vocab - 600       # leave room for the core's ~541 types
+    n_fill = max(n_tokens - core_tokens - n_tail_vocab, 0)
+    rng = np.random.default_rng(seed + 1)
+    with open(path, "w") as out:
+        core_lines = open(core).readlines()
+        ci = 0
+        # enumerate every tail word once (min_count=1 keeps all of them),
+        # zipf filler interleaved in blocks with core sentences
+        enum = np.arange(n_tail_vocab, dtype=np.int64)
+        rng.shuffle(enum)
+        written = 0
+        block = 200_000
+        while written < n_tail_vocab or n_fill > 0 or ci < len(core_lines):
+            if ci < len(core_lines):
+                take = core_lines[ci:ci + 2000]
+                out.writelines(take)
+                ci += len(take)
+            if written < n_tail_vocab:
+                ids = enum[written:written + block]
+                written += len(ids)
+            elif n_fill > 0:
+                take_n = min(block, n_fill)
+                ids = np.minimum(rng.zipf(1.3, size=take_n) - 1,
+                                 n_tail_vocab - 1)
+                n_fill -= take_n
+            else:
+                ids = None
+            if ids is not None and len(ids):
+                words = np.char.add("t", ids.astype(str))
+                for lo in range(0, len(words), 12):
+                    out.write(" ".join(words[lo:lo + 12]) + "\n")
+    print(f"corpus: {path} built in {time.perf_counter() - t0:.0f}s",
+          flush=True)
+
+
+def main():
+    os.makedirs(RUN, exist_ok=True)
+    n_tokens = _arg("--tokens", 60_000_000, int)
+    n_vocab = _arg("--vocab", 3_700_000, int)
+    corpus = os.path.join(RUN, f"corpus_{n_tokens}_{n_vocab}.txt")
+    questions = os.path.join(RUN, "questions.txt")
+    transcript = {"config": dict(tokens=n_tokens, vocab=n_vocab)}
+
+    if not os.path.exists(corpus):
+        make_corpus(corpus, questions, n_tokens, n_vocab)
+
+    from word2bits_tpu.config import Word2BitsConfig
+    from word2bits_tpu.train import train
+
+    out = os.path.join(RUN, "vectors.bin")
+    ckpt = os.path.join(RUN, "ckpt")
+    common = dict(
+        train_file=corpus, output_file=out, binary=True, packed=True,
+        bitlevel=1, size=_arg("--size", 800, int), window=5, negative=10,
+        min_count=1, sample=1e-4, alpha=0.05,
+        batch_size=_arg("--batch", 16384, int), neg_sharing=64,
+        fused_tables=True, dtype="bfloat16", rmw_scatter=True,
+        steps_per_chunk=1, segment_tokens=_arg("--segment", 1 << 25, int),
+        checkpoint_dir=ckpt, debug=2, seed=1,
+        device_epoch=(False if "--host-epoch" in sys.argv else None),
+    )
+
+    t0 = time.perf_counter()
+    cfg = Word2BitsConfig(iter=2, **common)
+    res = train(cfg)
+    t_train = time.perf_counter() - t0
+    transcript["train"] = dict(
+        epochs=2, wall_s=round(t_train, 1),
+        words_per_sec=round(res.words_per_sec),
+        epoch_losses=[round(l, 1) for l in res.epoch_losses],
+        steps=res.steps, vocab_size=res.vocab.size)
+    print(json.dumps(transcript["train"]), flush=True)
+
+    # resume from the epoch-2 checkpoint and train one more epoch — the
+    # full-state resume path at flagship scale
+    t0 = time.perf_counter()
+    cfg3 = Word2BitsConfig(iter=3, **common)
+    res3 = train(cfg3)
+    transcript["resume"] = dict(
+        extra_epochs=1, wall_s=round(time.perf_counter() - t0, 1),
+        words_per_sec=round(res3.words_per_sec),
+        epoch_losses=[round(l, 1) for l in res3.epoch_losses])
+    print(json.dumps(transcript["resume"]), flush=True)
+
+    sizes = {}
+    for p in (out, out + ".pack"):
+        if os.path.exists(p):
+            sizes[os.path.basename(p)] = os.path.getsize(p)
+    transcript["artifacts"] = sizes
+
+    if "--skip-eval" not in sys.argv:
+        t0 = time.perf_counter()
+        from word2bits_tpu.eval.analogy import (evaluate_analogies,
+                                                load_questions)
+        from word2bits_tpu.io.vectors import read_vectors
+        words, vectors = read_vectors(out)
+        res_e = evaluate_analogies(words, vectors, load_questions(questions),
+                                   bitlevel=0)
+        transcript["eval"] = dict(
+            rows=len(words), wall_s=round(time.perf_counter() - t0, 1),
+            total_accuracy=round(res_e.total_accuracy, 2),
+            coverage=round(res_e.coverage, 2))
+        print(json.dumps(transcript["eval"]), flush=True)
+
+    md = os.path.join(REPO, "docs", "flagship_r3_transcript.md")
+    with open(md, "w") as f:
+        f.write("# Flagship end-to-end run (3.7M x 800d, 1-bit, one v5e)\n\n"
+                "Produced by tools/flagship_run.py — the full production "
+                "path at the reference's headline scale (reference "
+                "README.md:39): streamed multi-epoch training with bf16 "
+                "fused tables + Pallas group-RMW scatter (no-scan donated "
+                "steps), full-state checkpoint + resume, reference-format "
+                "binary + packed export, 3.7M-row analogy evaluation.\n\n"
+                "```json\n" + json.dumps(transcript, indent=2) + "\n```\n\n"
+                f"Generated {time.strftime('%Y-%m-%d %H:%M')}.\n")
+    print(f"wrote {md}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
