@@ -252,23 +252,32 @@ def main_big():
         for r in rows:
             rm, rs = _stats(r["ref_accs"])
             om, os_ = _stats(r["our_accs"])
-            ok = "yes" if om + 1e-9 >= rm - max(rs, 1.0) else "NO"
+            # north-star criterion (BASELINE.md / VERDICT r2 weak #1):
+            # ours_mean >= ref_mean - 1.0, no sigma allowance
+            ok = "yes" if om + 1e-9 >= rm - 1.0 else "NO"
             f.write(f"| {r['bitlevel']} | {r['mode']} | {rm:.1f}±{rs:.1f} "
                     f"| {om:.1f}±{os_:.1f} | {ok} |\n")
         f.write(
-            "\nThe a0.10/a0.15 rows are large-batch LR probes: at B=8192 "
-            "doubling alpha moves the mean by less than its standard "
-            "error and tripling it clearly hurts, so auto_lr keeps no "
-            "large-batch term — the shipped default (row 1) is the "
-            "supported configuration, and its at/above verdict is the "
-            "direct text8-scale evidence for bench.py's quality-safe "
-            "claim (VERDICT-r1 weak #6).\n"
-            "\nThe densehot row measures BELOW base at this shape (this "
-            "corpus's 541-word vocab makes hot_rows=256 cover nearly the "
-            "whole negative mass — a degenerate regime for the estimator), "
-            "which is why bench.py's adjudication set is restricted to "
-            "update-equal variants and dense-hot stays an opt-in trade "
-            "verified per-corpus (cli tune).\n")
+            "\nat/above = ours_mean >= ref_mean - 1.0, the BASELINE.md "
+            "north star (no sigma allowance).\n"
+            "\nThe a0.10/a0.15 rows are large-batch LR probes.  The "
+            "round-3 5-seed campaign (fresh corpus, final round-2 code) "
+            "shows alpha=0.10 clearly above both the base row and the "
+            "reference — inverting the round-2 3-seed table, which was "
+            "measured before the round-2 code finalized.  bench.py's "
+            "shipped configuration therefore carries alpha=0.10 "
+            "explicitly (its row is the bench quality evidence); auto_lr "
+            "still adds no automatic large-batch term, because the "
+            "round-2 sweeps showed the batch/LR interaction is not "
+            "monotone across grids (docs/acceptance_notes.md) — the "
+            "large-batch alpha stays a measured per-config choice.\n"
+            "\nThe densehot and pool rows change the negative-sampling "
+            "estimator (not update-equal), so they stay out of bench.py's "
+            "adjudication set regardless of their means here; densehot's "
+            "±12.5 spread at this shape (and its below-base round-2 "
+            "measurement) keeps it an opt-in trade verified per-corpus "
+            "(cli tune).  pool4/pool8 + alpha=0.10 are the quality "
+            "headroom rows: same throughput class, highest means.\n")
         seeds_used = max(len(r["our_accs"]) for r in rows) if rows else 0
         f.write(f"\nGenerated {time.strftime('%Y-%m-%d %H:%M')} by "
                 f"tools/accuracy_parity.py --big (seeds={seeds_used}).\n")
