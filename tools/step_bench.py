@@ -102,6 +102,15 @@ def main():
         yield ("fused-poolG-dense4096", B,
                dict(neg_sharing=G, neg_pool=G, hot_rows=4096, densehot=True),
                "fused")
+        # exact per-center semantics + the spanning sweep scatter (VERDICT
+        # r2 item 5): poolG's (B/G)*P*K = B*K v-update rows are what makes
+        # the exact path XLA-scatter-bound (~50 ns/row serialized); span
+        # replaces the loop with one sorted MXU placement sweep whose plan
+        # hoists out of the scan chunk (kernels/span_scatter.py)
+        for Sv in (64, 128):
+            yield (f"fused-poolG-span-S{Sv}", B,
+                   dict(neg_sharing=G, neg_pool=G, scatter_impl="span"),
+                   "fused", Sv)
         # banded windowed sums: context + u sums as banded MXU matmuls
         # (ops/windowed.py) vs the 2W-shift VPU formulation
         for bt in (128, 256):
@@ -152,9 +161,18 @@ def main():
                 else:
                     kw["dense_hot"] = st.dense_split(CFG["negative"])
                     ap, aa = st.cold.prob, st.cold.alias
+            simpl = kw.get("scatter_impl", "add")
+            if simpl in ("sweep", "span"):
+                # swept kernels need window-aligned table rows and 128-lane
+                # columns (zero padding never matches a window id / rides
+                # with zero gradients) — same machinery as bench.run_variant
+                kw["col_pad"] = (-2 * CFG["size"]) % 128
             if fam == "fused":
                 fn = make_fused_train_chunk(hyper, V, B, Sv, **kw)
-                params = (interleave(u0, v0),)
+                p = interleave(u0, v0)
+                if simpl in ("sweep", "span"):
+                    p = jnp.pad(p, ((0, (-V) % 512), (0, kw["col_pad"])))
+                params = (p,)
             else:
                 fn = make_slab_train_chunk(hyper, V, B, Sv, **kw)
                 params = (u0, v0)

@@ -32,17 +32,27 @@ def _lcg_matrix(start_draw: int, rows: int, cols: int) -> np.ndarray:
 
 
 def init_params(vocab_size: int, size: int, init: str = "reference",
-                seed: int = 1, dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+                seed: int = 1, dtype=jnp.float32,
+                as_numpy: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Returns (u, v), each [vocab_size, size] in `dtype`.
 
     "reference": exact reproduction of reference InitNet (v filled first from
     LCG seed 1, then u continues the same stream).
     "uniform":   U(-0.5, 0.5) from jax.random with `seed`.
+
+    as_numpy=True keeps the result HOST-side (numpy): at flagship scale
+    (3.7M x 800d) eagerly shipping u and v to the chip forces build_engine's
+    padded-fused-table assembly through a device round-trip that peaks at
+    ~2x the table and OOMs the 16 GB chip — train() assembles host-side and
+    uploads the final table once.
     """
     if init == "reference":
         n = vocab_size * size
         v = _lcg_matrix(0, vocab_size, size)
         u = _lcg_matrix(n, vocab_size, size)
+        if as_numpy:
+            npdt = jnp.dtype(dtype)  # numpy dtype (ml_dtypes covers bf16)
+            return (u.astype(npdt, copy=False), v.astype(npdt, copy=False))
         return (jnp.asarray(u, dtype=dtype), jnp.asarray(v, dtype=dtype))
     if init == "uniform":
         ku, kv = jax.random.split(jax.random.PRNGKey(seed))
@@ -50,5 +60,7 @@ def init_params(vocab_size: int, size: int, init: str = "reference",
                                minval=-0.5, maxval=0.5)
         v = jax.random.uniform(kv, (vocab_size, size), dtype=dtype,
                                minval=-0.5, maxval=0.5)
+        if as_numpy:
+            return (np.asarray(u), np.asarray(v))
         return (u, v)
     raise ValueError(f"unknown init {init!r}")

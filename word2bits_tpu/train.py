@@ -179,9 +179,26 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
                 table_, loss_ = fused_fn(u_, *args)
             return table_, v_, loss_
 
-        u = interleave(u, v)
         if vpad or cpad:
-            u = jnp.pad(u, ((0, vpad), (0, cpad)))
+            # Assemble the padded fused table HOST-side and ship it in ONE
+            # transfer: on-device interleave + pad holds u + v + the fused
+            # copy + pad's fresh buffer (~2x table peak — 22.5 GB at the
+            # 3.7M x 800d flagship vs 15.75 GB HBM), the exact copy-OOM the
+            # rmw path exists to avoid.  Padding stays zero; exports slice
+            # it off via table_pad (tests/test_rmw_chunk.py).
+            D_ = cfg.size
+            uh, vh = np.asarray(u), np.asarray(v)
+            for a_ in (u, v):
+                if hasattr(a_, "delete"):
+                    a_.delete()   # free device halves before the upload
+            fused_h = np.zeros((V + vpad, 2 * D_ + cpad), dtype=uh.dtype)
+            fused_h[:V, :D_] = uh
+            fused_h[:V, D_:2 * D_] = vh
+            del uh, vh
+            u = jnp.asarray(fused_h)
+            del fused_h
+        else:
+            u = interleave(u, v)
         v = jnp.zeros((0,), u.dtype)
     elif cfg.model == "skipgram":
         from word2bits_tpu.models.skipgram import make_skipgram_train_chunk
@@ -233,7 +250,11 @@ def train(cfg: Word2BitsConfig,
                   "-rmw-scatter 1 (in-place per-step path; XLA's scatter "
                   "copies the table even donated — ARCHITECTURE.md), "
                   "-dtype bfloat16, or -mesh-shape to vocab-shard.")
-    u, v = init_params(V, D, init=cfg.init, seed=cfg.seed, dtype=dtype)
+    # host-side params: build_engine decides the device layout (the fused
+    # rmw path assembles a padded table host-side to keep the chip at 1x
+    # table peak; eager device halves would force an OOMing round-trip)
+    u, v = init_params(V, D, init=cfg.init, seed=cfg.seed, dtype=dtype,
+                       as_numpy=True)
 
     key = jax.random.PRNGKey(cfg.seed)
     start_epoch = 0
@@ -242,7 +263,9 @@ def train(cfg: Word2BitsConfig,
                  if cfg.checkpoint_dir else None)
     if ckpt_path and cfg.resume and os.path.exists(ckpt_path):
         cu, cv, cepoch, ckey, cwords = load_checkpoint(ckpt_path)
-        u, v = jnp.asarray(cu, dtype=dtype), jnp.asarray(cv, dtype=dtype)
+        # stay host-side for the same reason as init_params(as_numpy=True)
+        npdt = jnp.dtype(dtype)
+        u, v = cu.astype(npdt, copy=False), cv.astype(npdt, copy=False)
         key = ckey
         start_epoch = cepoch + 1
         words_done = cwords
