@@ -83,6 +83,16 @@ VARIANTS = [
     # tunnel (progressive publication)
     dict(name="span_banded256_S128", banded=256, steps_per_chunk=128,
          scatter_impl="span"),
+    # S-lever on the span winner (S256 beat S128 on the plain-scatter
+    # winner in r2) and window tuning: smaller sweep windows cut the
+    # kernel's per-visited-window DMA traffic where the zipf tail leaves
+    # windows nearly empty, at the cost of more window visits
+    dict(name="span_banded256_S256", banded=256, steps_per_chunk=256,
+         scatter_impl="span"),
+    dict(name="span_banded256_S128_w256", banded=256, steps_per_chunk=128,
+         scatter_impl="span", span_window=256),
+    dict(name="span_banded256_S128_w128", banded=256, steps_per_chunk=128,
+         scatter_impl="span", span_window=128),
     dict(name="span_S128", steps_per_chunk=128, scatter_impl="span"),
     # previous round's winner as the fallback; the set is kept SMALL —
     # r3 bench-child runs showed the remote backend can wedge
@@ -139,8 +149,9 @@ def _read_partial():
 # the full retry schedule; later sets are pure upside, one attempt each.
 VARIANT_SETS = [
     "base,span_banded256_S128",
-    "span_S128,banded256_S256",
-    "banded256_S128",
+    "span_banded256_S256,span_banded256_S128_w256",
+    "span_banded256_S128_w128,span_S128",
+    "banded256_S256",
 ]
 
 
@@ -297,7 +308,8 @@ def main():
             # swept kernel: every touched window moves once each way; at
             # this shape all windows are touched, so the scatter side is a
             # full-table sweep plus the sorted-row stream (gather + kernel)
-            Vp = -(-V // 512) * 512
+            swn = int(cfg.get("span_window", 512))
+            Vp = -(-V // swn) * swn
             scatters = 2 * Vp * row + 3 * (slab + tk) * row
         else:
             scatters = 2 * (slab + tk) * row      # RMW: read + write
@@ -345,12 +357,16 @@ def main():
         simpl = cfg.get("scatter_impl", "add")
         col_pad = (-2 * cfg["size"]) % 128 if simpl in ("sweep", "span") \
             else 0
+        sw = int(cfg.get("span_window", 512))
         chunk_fn = make_fused_train_chunk(hyper, V, B, Sv,
                                           neg_sharing=cfg["neg_sharing"],
                                           hot_rows=hot, dense_hot=dense,
                                           banded=int(cfg.get("banded") or 0),
                                           scatter_impl=simpl,
-                                          col_pad=col_pad)
+                                          col_pad=col_pad,
+                                          span_window=sw,
+                                          span_chunk=int(
+                                              cfg.get("span_chunk", 128)))
         extra = ()
         if hot:
             n_rows = len(ep.tokens) // B + Sv + 2
@@ -362,7 +378,7 @@ def main():
             # swept kernels need window-aligned rows and 128-lane columns;
             # padding stays zero (zero rows never match a window id, zero
             # columns ride with zero gradients) and is excluded from timing
-            params = jnp.pad(params, ((0, (-V) % 512), (0, col_pad)))
+            params = jnp.pad(params, ((0, (-V) % sw), (0, col_pad)))
         key = jax.random.PRNGKey(0)
         # warmup / compile.  NOTE: on the axon TPU backend block_until_ready
         # is unreliable (returns before execution); a host scalar fetch is
