@@ -184,3 +184,51 @@ def test_fused_chunk_span_matches_base(rng, steps, pool):
                                np.asarray(t_base), atol=1e-4, rtol=1e-4)
     assert float(jnp.max(jnp.abs(t_span[:, 2 * D:]))) == 0.0
     assert float(jnp.max(jnp.abs(t_span[V:]))) == 0.0
+
+
+@pytest.mark.parametrize("sharing,steps", [(0, 1), (0, 2), (8, 2)])
+def test_slab_chunk_span_matches_base(rng, sharing, steps):
+    """The SLAB training chunk with scatter_impl='span' (separate u/v
+    tables, two sweeps; scan path hoists both plans) == the base chunk —
+    including neg_sharing=0, the exact-reference-semantics per-center mode
+    whose B*(K+1)-row v-scatter is the exact path's throughput bound
+    (reference src/word2bits.cpp:450-504)."""
+    from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
+    from word2bits_tpu.models.cbow_slab import make_slab_train_chunk
+    from word2bits_tpu.sampling.unigram import build_alias_table
+
+    V, D, B, W = 300, 16, 64, 3
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=5, reg=0.1)
+    n = 4 * B + 2 * W + 16
+    tokens = jnp.asarray(rng.integers(0, V, size=n).astype(np.int32))
+    sents = jnp.asarray((np.arange(n) // 97).astype(np.int32))
+    atab = build_alias_table(np.ones(V))
+    u = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    scalars = ChunkScalars(base0=jnp.int32(W), alpha0=jnp.float32(0.05),
+                           wca_start=jnp.float32(0.0),
+                           wca_per_step=jnp.float32(B),
+                           denom=jnp.float32(1e6))
+    key = jax.random.PRNGKey(0)
+
+    base = make_slab_train_chunk(hyper, V, B, steps, neg_sharing=sharing,
+                                 donate=False)
+    u0, v0, l0 = base(u, v, tokens, sents, atab.prob, atab.alias,
+                      scalars, key)
+
+    sw = 64
+    cp, vp = (-D) % 128, (-V) % sw
+    span = make_slab_train_chunk(hyper, V, B, steps, neg_sharing=sharing,
+                                 donate=False, scatter_impl="span",
+                                 span_window=sw, span_chunk=32)
+    u1, v1, l1 = span(jnp.pad(u, ((0, vp), (0, cp))),
+                      jnp.pad(v, ((0, vp), (0, cp))),
+                      tokens, sents, atab.prob, atab.alias, scalars, key)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(u1[:V, :D]), np.asarray(u0),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1[:V, :D]), np.asarray(v0),
+                               atol=1e-4, rtol=1e-4)
+    for t in (u1, v1):  # padding must stay exactly zero
+        assert float(jnp.max(jnp.abs(t[V:]))) == 0.0
+        assert float(jnp.max(jnp.abs(t[:, D:]))) == 0.0

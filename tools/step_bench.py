@@ -127,6 +127,11 @@ def main():
         # scan-chunk amortization on the exact path (the fused S-lever)
         for Sv in (64, 128):
             yield f"percenter-S{Sv}", Bp, dict(neg_sharing=0), "slab", Sv
+        # exact per-center mode + spanning sweep on BOTH slab scatters
+        # (u: B+2W rows, v: B*(K+1) rows — the dominant serialized cost)
+        for Sv in (64, 128):
+            yield (f"percenter-span-S{Sv}", Bp,
+                   dict(neg_sharing=0, scatter_impl="span"), "slab", Sv)
 
     results = {}
     for item in variants():
@@ -161,21 +166,26 @@ def main():
                 else:
                     kw["dense_hot"] = st.dense_split(CFG["negative"])
                     ap, aa = st.cold.prob, st.cold.alias
+            # swept kernels need window-aligned table rows and 128-lane
+            # columns (zero padding never matches a window id / rides
+            # with zero gradients) — same machinery as bench.run_variant
             simpl = kw.get("scatter_impl", "add")
-            if simpl in ("sweep", "span"):
-                # swept kernels need window-aligned table rows and 128-lane
-                # columns (zero padding never matches a window id / rides
-                # with zero gradients) — same machinery as bench.run_variant
-                kw["col_pad"] = (-2 * CFG["size"]) % 128
+            swept = simpl in ("sweep", "span")
             if fam == "fused":
+                if swept:
+                    kw["col_pad"] = (-2 * CFG["size"]) % 128
                 fn = make_fused_train_chunk(hyper, V, B, Sv, **kw)
                 p = interleave(u0, v0)
-                if simpl in ("sweep", "span"):
+                if swept:
                     p = jnp.pad(p, ((0, (-V) % 512), (0, kw["col_pad"])))
                 params = (p,)
             else:
                 fn = make_slab_train_chunk(hyper, V, B, Sv, **kw)
-                params = (u0, v0)
+                pu, pv = u0, v0
+                if swept:  # slab span infers col pad from the table shape
+                    pad = ((0, (-V) % 512), (0, (-CFG["size"]) % 128))
+                    pu, pv = jnp.pad(u0, pad), jnp.pad(v0, pad)
+                params = (pu, pv)
 
             extra = ()
             if kw.get("hot_rows"):

@@ -146,6 +146,24 @@ class Word2BitsConfig:
     # the shift formulation by tools/step_bench.py before flipping any
     # default.
     banded_tile: int = 0
+    # Parameter-scatter implementation: "add" = XLA scatter-add (serialized
+    # at ~50 ns/emitted row on TPU); "span" = the spanning sweep kernel
+    # (kernels/span_scatter.py) — rows sorted by id stream through the
+    # table's windows with VMEM-resident accumulation and one-hot MXU
+    # placement, and in the scan path the sort/plan pre-pass batch-hoists
+    # out of the loop (negatives pre-drawn with each step's own key, so
+    # updates are unchanged).  Update-equal modulo float summation order;
+    # the bench throughput winner at the text8-like shape (span_banded256_
+    # S128, BENCH r3).  CBOW single-chip paths (fused-table and slab,
+    # including the per-center exact mode); the table storage is padded
+    # (rows to span_window, columns to the 128-lane tile) and exports/
+    # checkpoints slice the padding off.
+    scatter_impl: str = "add"
+    # Sweep geometry (scatter_impl="span"): rows per table window per DMA
+    # (VMEM accumulator is [2, span_window, cols]) and sorted-stream rows
+    # per grid step.  Tune with tools/step_bench.py / bench.py variants.
+    span_window: int = 512
+    span_chunk: int = 128
     # Multi-chip dense-hot balance (-mesh-shape + -neg-dense-hot): place the
     # hot head interleaved across the vocab shards (parallel/layout.py) so
     # each shard runs its OWN [., H/nv] dense sub-range instead of every
@@ -317,6 +335,30 @@ class Word2BitsConfig:
                 raise ValueError(
                     "neg_stratify needs -negative >= 2 so each nonzero "
                     "stratum gets a lane (sampling/unigram.lane_split)")
+        if self.scatter_impl not in ("add", "span"):
+            raise ValueError(f"unknown -scatter-impl {self.scatter_impl!r} "
+                             "(supported: add, span)")
+        if self.scatter_impl == "span":
+            if self.model != "cbow":
+                raise ValueError("-scatter-impl span runs on the CBOW "
+                                 "paths only")
+            if self.mesh_shape:
+                raise ValueError("-scatter-impl span is single-chip; the "
+                                 "sharded bodies use their own scatter "
+                                 "paths (rmw_scatter composes with a mesh)")
+            if (self.rmw_scatter or self.dedup_block or self.hot_rows
+                    or self.neg_stratify or self.neg_dense_hot
+                    or self.use_pallas):
+                raise ValueError(
+                    "-scatter-impl span replaces the plain scatter; it does "
+                    "not compose with rmw_scatter/dedup_block/hot_rows/"
+                    "neg_stratify/neg_dense_hot/use_pallas")
+            if self.span_window <= 0 or self.span_window % 8:
+                raise ValueError("-span-window must be a positive multiple "
+                                 f"of 8, got {self.span_window}")
+            if self.span_chunk <= 0:
+                raise ValueError("-span-chunk must be positive, "
+                                 f"got {self.span_chunk}")
         if self.rmw_scatter:
             if self.model != "cbow":
                 raise ValueError("rmw_scatter runs on the CBOW paths only")
@@ -435,6 +477,9 @@ REFERENCE_FLAGS = {
     "-hot-pallas": ("hot_pallas", lambda s: bool(int(s))),
     "-hot-interleave": ("hot_interleave", lambda s: bool(int(s))),
     "-banded-tile": ("banded_tile", int),
+    "-scatter-impl": ("scatter_impl", str),
+    "-span-window": ("span_window", int),
+    "-span-chunk": ("span_chunk", int),
     "-rmw-scatter": ("rmw_scatter", lambda s: bool(int(s))),
     "-neg-stratify": ("neg_stratify", lambda s: bool(int(s))),
     "-neg-dense-hot": ("neg_dense_hot", lambda s: bool(int(s))),

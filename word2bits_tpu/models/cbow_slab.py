@@ -129,7 +129,9 @@ def _context_masks(inputs: SlabInputs, B: int, W: int):
 def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
               batch_size: int, neg_sharing: int = 0,
               use_pallas: bool = False, hot_rows: int = 0,
-              dedup_block: int = 0, neg_pool: int = 1, banded: int = 0):
+              dedup_block: int = 0, neg_pool: int = 1, banded: int = 0,
+              scatter_impl: str = "add", span_plans=None,
+              span_window: int = 512, span_chunk: int = 128):
     """One synchronous step over B consecutive centers. Returns (u, v, loss).
 
     use_pallas=True routes the shared-negative phase through the fused
@@ -143,10 +145,39 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     u sums) as banded-block MXU matmuls with tile size `banded` instead of
     2W shifted VPU adds (ops/windowed.py); same sums, different float order.
     """
-    B, W, K, D = batch_size, hyper.window, hyper.negative, u.shape[1]
+    # D from hyper, not u.shape[1]: scatter_impl="span" stores the tables
+    # with zero column padding to the 128-lane tile (and zero row padding
+    # to the sweep window) — gathers slice the live D columns, scatters
+    # re-pad with zeros, and the padding never changes
+    B, W, K, D = batch_size, hyper.window, hyper.negative, hyper.size
     bl, reg = hyper.bitlevel, hyper.reg
     # compute in f32 even when the backing store is bf16 (cfg.dtype)
     dt = jnp.float32
+
+    spanning = scatter_impl == "span"
+    if scatter_impl not in ("add", "span"):
+        raise ValueError(f"unknown scatter_impl {scatter_impl!r} "
+                         "(slab path supports 'add' and 'span')")
+    if spanning and (hot_rows or dedup_block):
+        raise ValueError("scatter_impl='span' replaces the plain scatter; "
+                         "it does not compose with hot_rows/dedup_block")
+
+    def scat_span(tab, ids, rows, plan):
+        # spanning sweep scatter (kernels/span_scatter.py): the TPU answer
+        # to XLA's ~50 ns/row serialized scatter — biggest in per-center
+        # mode where the v-update emits B*(K+1) rows
+        from word2bits_tpu.kernels.span_scatter import (
+            scatter_add_span, scatter_add_span_planned)
+        cp = tab.shape[1] - rows.shape[1]
+        if cp:
+            rows = jnp.pad(rows, ((0, 0), (0, cp)))
+        rows = rows.astype(tab.dtype)
+        if plan is not None:
+            return scatter_add_span_planned(tab, plan, rows,
+                                            window=span_window,
+                                            chunk=span_chunk)
+        return scatter_add_span(tab, ids, rows,
+                                window=span_window, chunk=span_chunk)
 
     if dedup_block:
         from word2bits_tpu.ops.scatter import scatter_add_dedup
@@ -164,7 +195,7 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     centers = slab_ids[W:W + B]
 
     # --- one slab gather; quantize once (reference reads quantize(u[ctx])) ---
-    u_slab = u[slab_ids].astype(dt)                        # [B+2W, D]
+    u_slab = u[slab_ids][:, :D].astype(dt)                 # [B+2W, D]
     q_slab = quantize(u_slab, bl)
 
     q_sq = jnp.sum(q_slab * q_slab, axis=-1)               # [B+2W]
@@ -193,7 +224,7 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     two_ar = 2.0 * alpha * reg
 
     # --- center (positive) term, always per-center ---
-    v_c = v[centers].astype(dt)                            # [B, D]
+    v_c = v[centers][:, :D].astype(dt)                     # [B, D]
     q_vc = quantize(v_c, bl)
     f_pos = jnp.sum(cavg * q_vc, axis=-1)                  # [B]
     g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * af
@@ -210,7 +241,7 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         T = B // G
         P = neg_pool if neg_pool and neg_pool > 1 else 1
         negs = inputs.neg_ids                              # [T, P*K]
-        v_n = v[negs].astype(dt)                           # [T, P*K, D]
+        v_n = v[negs][..., :D].astype(dt)                           # [T, P*K, D]
         cavg3 = to_tiles(cavg, T, G)
         af3 = to_tiles(af, T, G)
         centers3 = to_tiles(centers, T, G)
@@ -221,8 +252,13 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             interp)
         loss = loss + nloss
         cavge = cavge + from_tiles(cavge_neg, B)
-        v = scat(v, jnp.concatenate([centers, negs.reshape(-1)]),
-                 jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]))
+        ids_v = jnp.concatenate([centers, negs.reshape(-1)])
+        rows_v = jnp.concatenate([dv_center, dv_neg.reshape(-1, D)])
+        if spanning:
+            v = scat_span(v, ids_v, rows_v,
+                          None if span_plans is None else span_plans[1])
+        else:
+            v = scat(v, ids_v, rows_v)
     elif neg_sharing and neg_sharing > 0:
         G = neg_sharing
         if B % G:
@@ -230,7 +266,7 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         T = B // G
         P = neg_pool if neg_pool and neg_pool > 1 else 1
         negs = inputs.neg_ids                              # [T, P*K]
-        v_n = v[negs].astype(dt)                           # [T, P*K, D]
+        v_n = v[negs][..., :D].astype(dt)                           # [T, P*K, D]
         q_vn = quantize(v_n, bl)
         cavg3 = to_tiles(cavg, T, G)
         af3 = to_tiles(af, T, G)
@@ -257,11 +293,16 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             preferred_element_type=jnp.float32)            # [T, K, D]
         visits = jnp.sum(m3, axis=1)                       # [T, K]
         dv_neg = dv_neg - two_ar * v_n * visits[:, :, None]
-        v = scat(v, jnp.concatenate([centers, negs.reshape(-1)]),
-                 jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]))
+        ids_v = jnp.concatenate([centers, negs.reshape(-1)])
+        rows_v = jnp.concatenate([dv_center, dv_neg.reshape(-1, D)])
+        if spanning:
+            v = scat_span(v, ids_v, rows_v,
+                          None if span_plans is None else span_plans[1])
+        else:
+            v = scat(v, ids_v, rows_v)
     else:
         negs = inputs.neg_ids                              # [B, K]
-        v_n = v[negs].astype(dt)                           # [B, K, D]
+        v_n = v[negs][..., :D].astype(dt)                           # [B, K, D]
         q_vn = quantize(v_n, bl)
         f_neg = jnp.einsum("bd,bkd->bk", cavg, q_vn)
         skip = negs != centers[:, None]
@@ -271,8 +312,13 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         loss = loss + jnp.sum((jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq) * m2)
         cavge = cavge + jnp.einsum("bk,bkd->bd", g_neg, q_vn)
         dv_neg = g_neg[..., None] * cavg[:, None, :] - two_ar * v_n * m2[..., None]
-        v = scat(v, jnp.concatenate([centers, negs.reshape(-1)]),
-                 jnp.concatenate([dv_center, dv_neg.reshape(-1, D)]))
+        ids_v = jnp.concatenate([centers, negs.reshape(-1)])
+        rows_v = jnp.concatenate([dv_center, dv_neg.reshape(-1, D)])
+        if spanning:
+            v = scat_span(v, ids_v, rows_v,
+                          None if span_plans is None else span_plans[1])
+        else:
+            v = scat(v, ids_v, rows_v)
 
     # --- u updates grouped by slab position (one scatter of B+2W rows).
     if banded:
@@ -292,7 +338,11 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             [jnp.pad(mc[:, oi], (W + o, W - o))
              for oi, o in enumerate(offsets)]), axis=0)    # [B+2W]
     du_slab = du_slab - two_ar * u_slab * cnt[:, None]
-    u = scat(u, slab_ids, du_slab)
+    if spanning:
+        u = scat_span(u, slab_ids, du_slab,
+                      None if span_plans is None else span_plans[0])
+    else:
+        u = scat(u, slab_ids, du_slab)
 
     return u, v, loss
 
@@ -301,17 +351,32 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                           steps: int, neg_sharing: int = 0,
                           donate: bool = True, use_pallas: bool = False,
                           hot_rows: int = 0, dedup_block: int = 0,
-                          neg_pool: int = 1, banded: int = 0):
+                          neg_pool: int = 1, banded: int = 0,
+                          scatter_impl: str = "add",
+                          span_window: int = 512, span_chunk: int = 128):
     """Drop-in replacement for make_train_chunk using the slab formulation.
     Same signature: chunk(u, v, tokens, sent_ids, alias_prob, alias_alias,
-    scalars, key) -> (u, v, loss_sum)."""
+    scalars, key) -> (u, v, loss_sum).
+
+    scatter_impl="span" routes BOTH parameter scatters (u: B+2W slab rows;
+    v: B*(K+1) center+negative rows — the per-center mode's dominant cost)
+    through the spanning sweep kernel.  Pass u/v padded: rows to a
+    span_window multiple, columns to the 128-lane tile (padding stays
+    zero).  In the scan path the sort/plan pre-pass batch-hoists out of
+    the loop exactly like the fused path (negatives pre-drawn with each
+    step's own key, so the updates are unchanged)."""
     from word2bits_tpu.sampling.unigram import AliasTable, draw_negatives
 
     B, W, K = batch_size, hyper.window, hyper.negative
     P = neg_pool if (neg_sharing and neg_pool and neg_pool > 1) else 1
     neg_rows = (batch_size // neg_sharing) if neg_sharing else batch_size
+    spanning = scatter_impl == "span"
+    if spanning and (hot_rows or dedup_block):
+        raise ValueError("scatter_impl='span' replaces the plain scatter; "
+                         "it does not compose with hot_rows/dedup_block")
 
-    def one_step(u, v, s, k, tokens, sent_ids, table, scalars):
+    def one_step(u, v, s, k, tokens, sent_ids, table, scalars,
+                 pre_negs=None, span_plans=None):
         k_neg, k_win = jax.random.split(k)
         base = scalars.base0 + s * B
         wca = scalars.wca_start + s.astype(jnp.float32) * scalars.wca_per_step
@@ -321,12 +386,21 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
         slab_tokens = lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,))
         slab_sents = lax.dynamic_slice(sent_ids, (base - W,), (B + 2 * W,))
         shrink = jax.random.randint(k_win, (B,), 0, W, dtype=jnp.int32)
-        negs = draw_negatives(k_neg, table, (neg_rows, P * K), vocab_size)
+        if pre_negs is not None:
+            # span scan path: negatives pre-drawn at chunk entry with the
+            # SAME per-step k_neg (identical draws; the hoisted plan's ids
+            # are the step's ids)
+            negs = pre_negs
+        else:
+            negs = draw_negatives(k_neg, table, (neg_rows, P * K),
+                                  vocab_size)
         inputs = SlabInputs(slab_tokens=slab_tokens, slab_sents=slab_sents,
                             shrink=shrink, neg_ids=negs)
         return slab_step(u, v, inputs, alpha, hyper, B, neg_sharing,
                          use_pallas=use_pallas, hot_rows=hot_rows,
-                         dedup_block=dedup_block, neg_pool=P, banded=banded)
+                         dedup_block=dedup_block, neg_pool=P, banded=banded,
+                         scatter_impl=scatter_impl, span_plans=span_plans,
+                         span_window=span_window, span_chunk=span_chunk)
 
     if steps == 1:
         # No-scan capacity path (see models/cbow_fused.py): donation aliases
@@ -346,6 +420,48 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
     def chunk(u, v, tokens, sent_ids, alias_prob, alias_alias, scalars, key):
         table = AliasTable(prob=alias_prob, alias=alias_alias)
         keys = jax.random.split(key, steps)
+        steps_i = jnp.arange(steps, dtype=jnp.int32)
+
+        if spanning:
+            # hoist the span pre-pass (sorts + per-chunk scalars) out of
+            # the scan: every step's scatter ids are knowable at chunk
+            # entry — slab ids from `tokens`, negatives pre-drawn with the
+            # step's own k_neg (see models/cbow_fused.py span path)
+            from word2bits_tpu.kernels.span_scatter import span_plan
+            Vp = u.shape[0]
+            if v.shape[0] != Vp:
+                raise ValueError("span needs u and v padded to the same "
+                                 f"row count (got {Vp} vs {v.shape[0]})")
+
+            def ids_of(s, k):
+                k_neg, _ = jax.random.split(k)
+                base = scalars.base0 + s * B
+                slab_ids = jnp.maximum(
+                    lax.dynamic_slice(tokens, (base - W,), (B + 2 * W,)), 0)
+                negs = draw_negatives(k_neg, table, (neg_rows, P * K),
+                                      vocab_size)
+                ids_v = jnp.concatenate([slab_ids[W:W + B],
+                                         negs.reshape(-1)])
+                return slab_ids, ids_v, negs
+
+            ids_u_all, ids_v_all, negs_all = jax.vmap(ids_of)(steps_i, keys)
+            mk = lambda i: span_plan(i, Vp, window=span_window,  # noqa: E731
+                                     chunk=span_chunk)
+            plans_u = jax.vmap(mk)(ids_u_all)
+            plans_v = jax.vmap(mk)(ids_v_all)
+
+            def body_span(carry, xs):
+                u, v, loss = carry
+                s, k, negs, pu, pv = xs
+                u, v, step_loss = one_step(u, v, s, k, tokens, sent_ids,
+                                           table, scalars, pre_negs=negs,
+                                           span_plans=(pu, pv))
+                return (u, v, loss + step_loss), None
+
+            (u, v, loss), _ = lax.scan(
+                body_span, (u, v, jnp.float32(0.0)),
+                (steps_i, keys, negs_all, plans_u, plans_v))
+            return u, v, loss
 
         def body(carry, xs):
             u, v, loss = carry
@@ -354,7 +470,7 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                                        table, scalars)
             return (u, v, loss + step_loss), None
 
-        xs = (jnp.arange(steps, dtype=jnp.int32), keys)
+        xs = (steps_i, keys)
         (u, v, loss), _ = lax.scan(body, (u, v, jnp.float32(0.0)), xs)
         return u, v, loss
 

@@ -155,6 +155,11 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
             from word2bits_tpu.kernels.scatter_pallas import group_rows
             vpad = (-V) % group_rows(u.dtype)
             cpad = (-2 * cfg.size) % 128
+        elif cfg.scatter_impl == "span":
+            # spanning sweep storage: rows to the sweep window, columns to
+            # the 128-lane tile (kernels/span_scatter.py); same export trim
+            vpad = (-V) % cfg.span_window
+            cpad = (-2 * cfg.size) % 128
         fused_fn = make_fused_train_chunk(hyper, V, B, S,
                                           neg_sharing=cfg.neg_sharing,
                                           use_pallas=cfg.use_pallas,
@@ -166,7 +171,10 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
                                           hot_pallas=cfg.hot_pallas,
                                           banded=cfg.banded_tile,
                                           rmw_scatter=cfg.rmw_scatter,
-                                          col_pad=cpad)
+                                          col_pad=cpad,
+                                          scatter_impl=cfg.scatter_impl,
+                                          span_window=cfg.span_window,
+                                          span_chunk=cfg.span_chunk)
 
         # -hot-rows: the per-segment cold-row compaction map, updated by the
         # segment loop below (an explicit jit arg; the holder just threads it
@@ -214,11 +222,31 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
                                          use_pallas=cfg.use_pallas,
                                          dedup_block=cfg.dedup_block,
                                          neg_pool=cfg.neg_pool,
-                                         banded=cfg.banded_tile)
+                                         banded=cfg.banded_tile,
+                                         scatter_impl=cfg.scatter_impl,
+                                         span_window=cfg.span_window,
+                                         span_chunk=cfg.span_chunk)
+        if cfg.scatter_impl == "span":
+            # split-table sweep storage: pad u and v host-side (rows to the
+            # sweep window, cols to the 128-lane tile); exports/checkpoints
+            # trim via table_pad (_uv)
+            svpad = (-V) % cfg.span_window
+            scpad = (-cfg.size) % 128
+            if svpad or scpad:
+                padw = ((0, svpad), (0, scpad))
+                u = jnp.asarray(np.pad(np.asarray(u), padw))
+                v = jnp.asarray(np.pad(np.asarray(v), padw))
+            slab_pad = (svpad, scpad)
 
     fused_mode = bool(sharded is None and cfg.fused_tables
                       and cfg.neg_sharing and cfg.model == "cbow")
-    pad = (vpad, cpad) if (fused_mode and cfg.rmw_scatter) else (0, 0)
+    if fused_mode and (cfg.rmw_scatter or cfg.scatter_impl == "span"):
+        pad = (vpad, cpad)
+    elif sharded is None and cfg.model == "cbow" and not fused_mode \
+            and cfg.scatter_impl == "span":
+        pad = slab_pad
+    else:
+        pad = (0, 0)
     return Engine(chunk_fn=chunk_fn, u=u, v=v, table=table, sharded=sharded,
                   fused_mode=fused_mode, seg_cold=seg_cold, table_pad=pad)
 
@@ -293,6 +321,12 @@ def train(cfg: Word2BitsConfig,
                 half = t.shape[1] // 2
                 return t[:, :half], t[:, half:]
             return deinterleave(u_)
+        vp, cp = engine.table_pad
+        if vp or cp:
+            # split-table span storage: trim the sweep padding host-side
+            un, vn = np.asarray(u_), np.asarray(v_)
+            return (un[:un.shape[0] - vp, :un.shape[1] - cp],
+                    vn[:vn.shape[0] - vp, :vn.shape[1] - cp])
         return u_, v_
 
     train_words = vocab.train_words
