@@ -18,7 +18,12 @@ Tunnel resilience: the axon TPU backend occasionally wedges
 after minutes of quiet.  The measurement therefore runs in a CHILD process
 (env W2B_BENCH_CHILD=1) supervised by this script: a hung or failed child is
 killed by exact PID and retried with backoff, so one flake cannot cost the
-round its perf evidence (round-1 BENCH rc=1 postmortem).
+round its perf evidence (round-1 BENCH rc=1 postmortem).  The whole run is
+bounded below the driver's budget (TOTAL_BUDGET; round-3 rc=124
+postmortem), and every successful measurement is appended to the tracked
+bench_results.jsonl — if a wedged tunnel defeats every live attempt, the
+best recorded result is published marked "stale" instead of emitting
+nothing.
 
 Variant adjudication: the child measures the base config first, then the
 round-2 quality-safe step variants (hot/cold scatter split, dense-hot
@@ -103,7 +108,8 @@ VARIANTS = [
     dict(name="banded256_S128", banded=256, steps_per_chunk=128),
 ]
 BENCH_SECONDS = 8.0       # per-variant timed window
-CHILD_BUDGET = 440.0      # stop starting variants near the supervisor limit
+CHILD_BUDGET = 330.0      # stop starting variants before the supervisor
+                          # kill window (CHILD_TIMEOUT) closes
 PARTIAL_FILE = os.path.join(CACHE, "bench_partial.json")
 
 
@@ -126,11 +132,54 @@ def _prepare():
     return encoded, vocab.counts, vocab.train_words
 
 
-# Child-process measurement budget and retry schedule.  Worst case
-# ~5 attempts x 720 s + sleeps ~= 74 min; each sleep gives the tunnel the
-# quiet period it needs to recover.
-CHILD_TIMEOUT = 720.0
-RETRY_DELAYS = [30.0, 120.0, 240.0, 420.0]
+# Child-process measurement budget and retry schedule.  The r3 postmortem
+# (BENCH_r03.json rc=124): the old worst case (~74 min of retries) blew the
+# driver's own budget and the supervisor was killed mid-schedule, emitting
+# NOTHING.  The whole adjudication is now bounded by TOTAL_BUDGET wall
+# seconds — no child is launched unless it can finish inside it — and when
+# every live attempt fails the supervisor falls back to the best previously
+# recorded result (RESULTS_LOG) marked "stale" instead of exiting 1.
+CHILD_TIMEOUT = 420.0
+RETRY_DELAYS = [45.0, 90.0]
+TOTAL_BUDGET = 1100.0        # supervisor wall-clock ceiling (~18 min)
+RESULTS_LOG = os.path.join(REPO, "bench_results.jsonl")
+
+
+def _record_result(obj: dict):
+    """Append a successful measurement to the tracked results log — the
+    stale-fallback source when a wedged tunnel defeats every live attempt
+    (VERDICT r3 item 1c).  Tracked in git (unlike .bench_cache/) so it
+    survives session/round boundaries."""
+    rec = dict(obj, measured_at=time.strftime("%Y-%m-%dT%H:%M:%S"))
+    try:
+        with open(RESULTS_LOG, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError as e:
+        print(f"bench: could not record result: {e}", file=sys.stderr,
+              flush=True)
+
+
+def _stale_best() -> dict | None:
+    """Best previously recorded live result, marked stale."""
+    best = None
+    try:
+        for line in open(RESULTS_LOG):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if "metric" not in obj or obj.get("stale"):
+                continue
+            if best is None or obj.get("value", 0) > best.get("value", 0):
+                best = obj
+    except OSError:
+        return None
+    if best is not None:
+        best = dict(best, stale=True)
+    return best
 
 
 def _read_partial():
@@ -145,12 +194,14 @@ def _read_partial():
 # Variant sets, one CHILD PROCESS each: the remote backend reproducibly
 # wedges (InvalidArgument on everything after) once ~3 heavy variants have
 # compiled in one process (r3 logs; jax.clear_caches does not help), so the
-# adjudication is split — the first set carries the expected winner and gets
-# the full retry schedule; later sets are pure upside, one attempt each.
+# adjudication is split — the first set is the SINGLE expected winner
+# (VERDICT r3 item 1b: one healthy tunnel window lands the headline) and
+# gets the retry schedule; later sets are pure upside, one attempt each,
+# all bounded by TOTAL_BUDGET.
 VARIANT_SETS = [
-    "base,span_banded256_S128",
-    "span_banded256_S256,span_banded256_S128_w256",
-    "span_banded256_S128_w128,span_S128",
+    "span_banded256_S128",
+    "base,span_banded256_S256",
+    "span_banded256_S128_w256,span_S128",
     "banded256_S256",
 ]
 
@@ -202,12 +253,23 @@ def _supervise() -> int:
     Each child records every improving result to PARTIAL_FILE before trying
     its next variant, so even a child killed mid-adjudication leaves a
     salvageable number (on POSIX, TimeoutExpired carries no partial stdout —
-    the sidecar file is the only channel that survives a kill)."""
+    the sidecar file is the only channel that survives a kill).
+
+    Whole-run wall clock is bounded by TOTAL_BUDGET (no child launches
+    unless it can finish inside it), and a run where every live attempt
+    fails falls back to the best previously recorded result from
+    RESULTS_LOG, marked "stale" — BENCH_r{N}.json must always parse."""
     try:
         os.makedirs(CACHE, exist_ok=True)
     except OSError:
         pass
+    t0 = time.perf_counter()
+
+    def budget_left():
+        return TOTAL_BUDGET - (time.perf_counter() - t0)
+
     best = None
+    out_of_budget = False
     for si, vset in enumerate(VARIANT_SETS):
         env = dict(os.environ, W2B_BENCH_CHILD="1", W2B_BENCH_VARIANTS=vset)
         attempts = (len(RETRY_DELAYS) + 1) if si == 0 else 1
@@ -217,19 +279,36 @@ def _supervise() -> int:
                       f"{RETRY_DELAYS[i-1]:.0f}s to let the tunnel "
                       "recover...", file=sys.stderr, flush=True)
                 time.sleep(RETRY_DELAYS[i - 1])
+            if budget_left() < CHILD_TIMEOUT:
+                out_of_budget = True
+                break
             print(f"bench: set {si + 1}/{len(VARIANT_SETS)} [{vset}] "
-                  f"attempt {i + 1}/{attempts}", file=sys.stderr, flush=True)
+                  f"attempt {i + 1}/{attempts} "
+                  f"(budget {budget_left():.0f}s)",
+                  file=sys.stderr, flush=True)
             obj = _run_child(env)
             if obj is not None:
+                _record_result(obj)
                 if best is None or obj.get("value", 0) > best.get("value", 0):
                     best = obj
                 break
-        if si == 0 and best is None:
-            break  # the must-succeed set failed every attempt
+        if out_of_budget:
+            print("bench: TOTAL_BUDGET reached; stopping adjudication",
+                  file=sys.stderr, flush=True)
+            break
     if best is not None:
         print(json.dumps(best), flush=True)
         return 0
-    print("bench: all attempts failed", file=sys.stderr, flush=True)
+    stale = _stale_best()
+    if stale is not None:
+        print("bench: all live attempts failed; publishing the best "
+              f"previously recorded result (measured_at="
+              f"{stale.get('measured_at')}) marked stale",
+              file=sys.stderr, flush=True)
+        print(json.dumps(stale), flush=True)
+        return 0
+    print("bench: all attempts failed and no recorded result exists",
+          file=sys.stderr, flush=True)
     return 1
 
 

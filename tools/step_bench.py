@@ -171,19 +171,23 @@ def main():
             # with zero gradients) — same machinery as bench.run_variant
             simpl = kw.get("scatter_impl", "add")
             swept = simpl in ("sweep", "span")
+            # row-pad modulus must match the kernel's sweep window (a
+            # non-default span_window otherwise pads to the wrong multiple
+            # and fails at plan time — advisor r3)
+            swn = int(kw.get("span_window", 512))
             if fam == "fused":
                 if swept:
                     kw["col_pad"] = (-2 * CFG["size"]) % 128
                 fn = make_fused_train_chunk(hyper, V, B, Sv, **kw)
                 p = interleave(u0, v0)
                 if swept:
-                    p = jnp.pad(p, ((0, (-V) % 512), (0, kw["col_pad"])))
+                    p = jnp.pad(p, ((0, (-V) % swn), (0, kw["col_pad"])))
                 params = (p,)
             else:
                 fn = make_slab_train_chunk(hyper, V, B, Sv, **kw)
                 pu, pv = u0, v0
                 if swept:  # slab span infers col pad from the table shape
-                    pad = ((0, (-V) % 512), (0, (-CFG["size"]) % 128))
+                    pad = ((0, (-V) % swn), (0, (-CFG["size"]) % 128))
                     pu, pv = jnp.pad(u0, pad), jnp.pad(v0, pad)
                 params = (pu, pv)
 

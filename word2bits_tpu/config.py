@@ -353,9 +353,13 @@ class Word2BitsConfig:
                     "-scatter-impl span replaces the plain scatter; it does "
                     "not compose with rmw_scatter/dedup_block/hot_rows/"
                     "neg_stratify/neg_dense_hot/use_pallas")
-            if self.span_window <= 0 or self.span_window % 8:
+            if self.span_window <= 0 or self.span_window % 16:
+                # the kernel's [2, window, C] VMEM accumulator and window-
+                # aligned DMA slices assume dtype sublane tiling (16 rows
+                # for bf16, the widest group in use); tested windows are
+                # 128/256/512 (advisor r3)
                 raise ValueError("-span-window must be a positive multiple "
-                                 f"of 8, got {self.span_window}")
+                                 f"of 16, got {self.span_window}")
             if self.span_chunk <= 0:
                 raise ValueError("-span-chunk must be positive, "
                                  f"got {self.span_chunk}")

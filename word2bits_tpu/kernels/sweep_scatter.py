@@ -1,5 +1,12 @@
-"""Swept scatter-add: sorted MXU window placement — the bench-shape answer
-to XLA's serialized scatter.
+"""Swept scatter-add: sorted MXU window placement — DEPRECATED in favor of
+kernels/span_scatter.py.
+
+Superseded (round 3): the slot-plan pre-pass this kernel needs costs more
+than the sweep saves (~230 us/step even batch-hoisted; the int32 element
+gathers serialize on TPU — tools/sweep_probe.py).  span_scatter streams the
+sorted rows plan-free and is the measured winner; this file is retained as
+a measured-negative with its numbers cited below.  Not reachable from
+config (-scatter-impl accepts "add"/"span" only).
 
 Measured 2026-08-19 (tools/ablate_fused.py, v5e, bench winner config): the
 in-step parameter scatter costs ~493 us of a 974 us step (~44 ns per

@@ -135,6 +135,11 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
     sharded = None
     chunk_fn = None
     seg_cold = {"pos": None}
+    # storage padding defaults; the branches below overwrite when a padded
+    # layout applies (bound unconditionally so a future model family reaching
+    # the slab elif cannot hit an UnboundLocalError — advisor r3)
+    vpad = cpad = 0
+    slab_pad = (0, 0)
     if cfg.mesh_shape:
         # multi-chip path: vocab-sharded params + data-parallel batch over a
         # (data, vocab) mesh, scanning S steps per dispatch exactly like the
