@@ -199,8 +199,8 @@ def _read_partial():
 # gets the retry schedule; later sets are pure upside, one attempt each,
 # all bounded by TOTAL_BUDGET.
 VARIANT_SETS = [
-    "span_banded256_S128",
-    "base,span_banded256_S256",
+    "span_banded256_S256",
+    "base,span_banded256_S128",
     "span_banded256_S128_w256,span_S128",
     "banded256_S256",
 ]

@@ -154,10 +154,12 @@ class Word2BitsConfig:
     # out of the loop (negatives pre-drawn with each step's own key, so
     # updates are unchanged).  Update-equal modulo float summation order;
     # the bench throughput winner at the text8-like shape (span_banded256_
-    # S128, BENCH r3).  CBOW single-chip paths (fused-table and slab,
-    # including the per-center exact mode); the table storage is padded
-    # (rows to span_window, columns to the 128-lane tile) and exports/
-    # checkpoints slice the padding off.
+    # S128, BENCH r3).  CBOW paths: single-chip fused-table and slab
+    # (including the per-center exact mode), and since round 4 the sharded
+    # (data x vocab) mesh body (per-shard local ids, update lists
+    # all-gathered over the data axis — parallel/sharded_slab.py); the
+    # table storage is padded (rows to span_window, columns to the 128-lane
+    # tile) and exports/checkpoints slice the padding off.
     scatter_impl: str = "add"
     # Sweep geometry (scatter_impl="span"): rows per table window per DMA
     # (VMEM accumulator is [2, span_window, cols]) and sorted-stream rows
@@ -342,10 +344,9 @@ class Word2BitsConfig:
             if self.model != "cbow":
                 raise ValueError("-scatter-impl span runs on the CBOW "
                                  "paths only")
-            if self.mesh_shape:
-                raise ValueError("-scatter-impl span is single-chip; the "
-                                 "sharded bodies use their own scatter "
-                                 "paths (rmw_scatter composes with a mesh)")
+            # composes with -mesh-shape since round 4: the sharded slab
+            # body routes per-shard row updates through the span kernel
+            # with local ids (parallel/sharded_slab.py, VERDICT r3 item 5)
             if (self.rmw_scatter or self.dedup_block or self.hot_rows
                     or self.neg_stratify or self.neg_dense_hot
                     or self.use_pallas):

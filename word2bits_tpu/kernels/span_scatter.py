@@ -208,7 +208,11 @@ def _span_call(table, prows, sids, wfirst, wlast, edges,
     return out.reshape(V, C)
 
 
-_SENTINEL = jnp.int32(0x7FFFFFF0)
+# plain Python int, not a module-level jnp array: a jnp constant traced
+# inside shard_map gets the first mesh's aval stamped on it and then
+# poisons traces under any OTHER mesh ("context mesh should match the aval
+# mesh") — the mesh-span equality tests sweep several mesh shapes
+_SENTINEL = 0x7FFFFFF0
 
 
 def span_plan(ids, V: int, window: int = 512, chunk: int = 128) -> SpanPlan:

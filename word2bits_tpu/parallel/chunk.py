@@ -33,7 +33,9 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
                        batch_size: int, steps: int, neg_sharing: int = 0,
                        neg_pool: int = 1, donate: bool = True,
                        dense_hot=None, hot_rows: int = 0, hot_layout=None,
-                       banded: int = 0, rmw: bool = False):
+                       banded: int = 0, rmw: bool = False,
+                       scatter_impl: str = "add", span_window: int = 512,
+                       span_chunk: int = 128):
     """jit(shard_map) chunk running `steps` sharded minibatch steps.
 
     `body_fn` is one of the per-step sharded bodies
@@ -103,6 +105,12 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
                 # capacity benefit, since the scan path double-buffers the
                 # carried tables
                 body_kw["rmw"] = True
+            if scatter_impl != "add":
+                # per-shard spanning sweep scatter with local ids (cbow
+                # slab body only; config gates it) — VERDICT r3 item 5
+                body_kw["scatter_impl"] = scatter_impl
+                body_kw["span_window"] = span_window
+                body_kw["span_chunk"] = span_chunk
             if dense_hot is not None:
                 from word2bits_tpu.sampling.unigram import _alias_draw
                 negs = hot_rows + _alias_draw(
@@ -142,14 +150,14 @@ def make_sharded_chunk(body_fn, hyper: CBOWHyper, mesh: Mesh,
 
     pp = P(VOCAB_AXIS, None)
     rep = P()
-    # check_vma=False: the rmw body's pallas_call cannot declare its
+    # check_vma=False: the rmw/span bodies' pallas_call cannot declare its
     # varying-mesh-axes type (jax.ShapeDtypeStruct has no axis context in
-    # the kernel wrapper); the rmw==plain equality tests are the checker
+    # the kernel wrapper); the kernel==plain equality tests are the checker
     mapped = jax.shard_map(
         chunk, mesh=mesh,
         in_specs=(pp, pp, rep, rep, rep, rep, rep, rep),
         out_specs=(pp, pp, rep),
-        check_vma=not rmw,
+        check_vma=not (rmw or scatter_impl != "add"),
     )
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(mapped, donate_argnums=donate_argnums)

@@ -39,7 +39,9 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
                        negs, alpha, hyper: CBOWHyper, B_global: int,
                        neg_sharing: int, vocab_shard_size: int,
                        neg_pool: int = 1, dense_hot=None, hot_layout=None,
-                       banded: int = 0, rmw: bool = False):
+                       banded: int = 0, rmw: bool = False,
+                       scatter_impl: str = "add", span_window: int = 512,
+                       span_chunk: int = 128):
     """Runs inside shard_map. Global inputs replicated; params vocab-sharded.
 
     dense_hot = (w_cold, hot_w[H]) enables exact hot-stratum negatives
@@ -55,12 +57,21 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     per shard (nv x fewer redundant FLOPs); gathers/scatters use the
     piecewise slot map.  hot_w must be padded to layout.hot_pad
     (layout.pad_hot_weights)."""
-    W, K, D = hyper.window, hyper.negative, u_local.shape[1]
+    # D from hyper, not the table width: scatter_impl="span" stores the
+    # per-shard tables with zero column padding to the 128-lane tile
+    # (kernels/span_scatter.py) — gathers slice the live D columns (a no-op
+    # when unpadded) and the span scatter re-pads its rows with zeros, so
+    # the padding never changes and never reaches quantize()
+    W, K, D = hyper.window, hyper.negative, hyper.size
     bl, reg = hyper.bitlevel, hyper.reg
     # compute in f32 even when the backing store is bf16, as
     # cbow_slab.slab_step does (LUT bin index / log-loss must not run bf16)
     dt = jnp.float32
     Vs = u_local.shape[0]
+    spanning = scatter_impl == "span"
+    if scatter_impl not in ("add", "span"):
+        raise ValueError(f"unknown scatter_impl {scatter_impl!r} "
+                         "(sharded slab supports 'add' and 'span')")
 
     nd = lax.axis_size(DATA_AXIS)
     di = lax.axis_index(DATA_AXIS)
@@ -106,9 +117,9 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
     # psums are independent, so XLA's latency-hiding scheduler can overlap
     # them with each other and with the mask/context compute below instead
     # of serializing gather -> compute -> gather (ROADMAP overlap item)
-    u_slab = gat(u_local, slab_ids).astype(dt)
-    v_c = gat(v_local, centers).astype(dt)
-    v_n = gat(v_local, my_negs).astype(dt)
+    u_slab = gat(u_local, slab_ids)[..., :D].astype(dt)
+    v_c = gat(v_local, centers)[..., :D].astype(dt)
+    v_n = gat(v_local, my_negs)[..., :D].astype(dt)
     q_slab = quantize(u_slab, bl)
 
     q_sq = jnp.sum(q_slab * q_slab, axis=-1)
@@ -217,7 +228,7 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
             Hs = hot_layout.hot_per_shard
             gidx = vi * Hs + jnp.arange(Hs, dtype=jnp.int32)
         w_loc = jnp.where(gidx < H, hot_w[jnp.clip(gidx, 0, H - 1)], 0.0)
-        v_h = v_local[:Hs].astype(dt)
+        v_h = v_local[:Hs, :D].astype(dt)
         q_vh = quantize(v_h, bl)
         f_h = lax.dot_general(cavg, q_vh, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)  # [B, Hs]
@@ -253,19 +264,23 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
              for oi, o in enumerate(offsets)]), axis=0)
     du_slab = du_slab - two_ar * u_slab * cnt[:, None]
 
-    if rmw:
-        # -rmw-scatter on the mesh (capacity path): apply ROW updates to the
-        # local shard IN PLACE via the Pallas group-RMW kernel with local
-        # ids (non-owned rows -> the drop sentinel) instead of a dense
-        # [Vs, D] delta + psum + add — peak HBM stays 1x table per shard.
+    if rmw or spanning:
+        # Row-update formulation on the mesh: apply ROW updates to the local
+        # shard via a Pallas kernel with local ids (non-owned rows -> the
+        # drop sentinel) instead of a dense [Vs, D] delta + psum + add.
+        #   rmw  (-rmw-scatter, the capacity path): in-place group-RMW DMA
+        #        chains — peak HBM stays 1x table per shard.
+        #   span (-scatter-impl span, the throughput path): the spanning
+        #        sweep kernel (kernels/span_scatter.py) — sorted rows stream
+        #        through the shard's windows with VMEM-resident accumulation
+        #        and one-hot MXU placement (VERDICT r3 item 5).
         # The data axis exchanges the (ids, rows) lists (all_gather, ~N*D
         # bytes) rather than dense deltas (~Vs*D): duplicate ids from
-        # different data shards accumulate through the kernel's sequential
-        # blocks exactly like the serialized scatter.
+        # different data shards accumulate inside the kernel (sequential
+        # blocks / per-window f32 sums), same sums modulo float order.
         if dv_hot is not None:
-            raise ValueError("rmw does not compose with dense_hot "
+            raise ValueError("rmw/span does not compose with dense_hot "
                              "(config validation rejects it upstream)")
-        from word2bits_tpu.kernels.scatter_pallas import scatter_add_rmw
         DROP = jnp.int32(0x7FFFFFF0)
         my = lax.axis_index(VOCAB_AXIS)
 
@@ -286,10 +301,24 @@ def _sharded_slab_body(u_local, v_local, slab_tokens, slab_sents, shrink,
             rows_v = lax.all_gather(rows_v, DATA_AXIS, tiled=True)
             ids_u = lax.all_gather(ids_u, DATA_AXIS, tiled=True)
             rows_u = lax.all_gather(rows_u, DATA_AXIS, tiled=True)
-        v_local = scatter_add_rmw(v_local, to_local(ids_v),
-                                  rows_v.astype(v_local.dtype))
-        u_local = scatter_add_rmw(u_local, to_local(ids_u),
-                                  rows_u.astype(u_local.dtype))
+        if spanning:
+            from word2bits_tpu.kernels.span_scatter import scatter_add_span
+            cp = u_local.shape[1] - D
+
+            def apply_span(tab, ids, rows):
+                if cp:  # re-pad rows to the 128-lane storage width (zeros)
+                    rows = jnp.pad(rows, ((0, 0), (0, cp)))
+                return scatter_add_span(tab, ids, rows.astype(tab.dtype),
+                                        window=span_window, chunk=span_chunk)
+
+            v_local = apply_span(v_local, to_local(ids_v), rows_v)
+            u_local = apply_span(u_local, to_local(ids_u), rows_u)
+        else:
+            from word2bits_tpu.kernels.scatter_pallas import scatter_add_rmw
+            v_local = scatter_add_rmw(v_local, to_local(ids_v),
+                                      rows_v.astype(v_local.dtype))
+            u_local = scatter_add_rmw(u_local, to_local(ids_u),
+                                      rows_u.astype(u_local.dtype))
         loss = lax.psum(loss, DATA_AXIS)
         return u_local, v_local, loss
 

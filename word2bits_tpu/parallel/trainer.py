@@ -57,6 +57,7 @@ class ShardedTrainer:
                 and -(-cfg.hot_rows // self.nv) * self.nv < up.shape[0]):
             from word2bits_tpu.parallel.layout import make_hot_layout
             self.layout = make_hot_layout(up.shape[0], self.nv, cfg.hot_rows)
+        self.col_pad = 0
         if cfg.rmw_scatter:
             # per-shard in-place Pallas RMW needs the shard row count
             # aligned to the dtype's sublane group (kernels/scatter_pallas.
@@ -65,13 +66,25 @@ class ShardedTrainer:
             mult = self.nv * group_rows(up.dtype)
             up = pad_vocab_rows(up, mult)
             vp = pad_vocab_rows(vp, mult)
+        elif cfg.scatter_impl == "span":
+            # per-shard spanning sweep storage (kernels/span_scatter.py):
+            # shard rows to the sweep window, columns to the 128-lane tile.
+            # Padding stays zero (gathers slice the live D columns, scatter
+            # rows re-pad with zeros) and params() trims it off.
+            up = pad_vocab_rows(up, self.nv * cfg.span_window)
+            vp = pad_vocab_rows(vp, self.nv * cfg.span_window)
+            self.col_pad = (-cfg.size) % 128
+            if self.col_pad:
+                padw = ((0, 0), (0, self.col_pad))
+                up, vp = np.pad(up, padw), np.pad(vp, padw)
         self.chunk_fn = make_sharded_chunk(
             body, hyper, self.mesh, up.shape[0], vocab_size,
             cfg.batch_size, cfg.steps_per_chunk,
             neg_sharing=cfg.neg_sharing, neg_pool=cfg.neg_pool,
             dense_hot=dense_hot, hot_rows=cfg.hot_rows,
             hot_layout=self.layout, banded=cfg.banded_tile,
-            rmw=cfg.rmw_scatter)
+            rmw=cfg.rmw_scatter, scatter_impl=cfg.scatter_impl,
+            span_window=cfg.span_window, span_chunk=cfg.span_chunk)
         if self.layout is not None:
             from word2bits_tpu.parallel.layout import to_layout
             up, vp = to_layout(up, self.layout), to_layout(vp, self.layout)
@@ -92,4 +105,6 @@ class ShardedTrainer:
         if self.layout is not None:
             from word2bits_tpu.parallel.layout import from_layout
             u, v = from_layout(u, self.layout), from_layout(v, self.layout)
+        if self.col_pad:
+            u, v = u[:, :-self.col_pad], v[:, :-self.col_pad]
         return (u[:self.V], v[:self.V])
