@@ -167,6 +167,9 @@ def main_big():
          dict(fused_tables=True, dtype="bfloat16", batch_size=8192,
               alpha=0.10)),
     ]
+    if "--only" in sys.argv:  # comma-separated mode labels to (re)run
+        labels = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        modes = [m for m in modes if m[0] in labels]
     extend = 0
     if "--extend" in sys.argv:  # grow every cached row to N seeds
         extend = int(sys.argv[sys.argv.index("--extend") + 1])
@@ -183,6 +186,8 @@ def main_big():
                 print(f"ref b{bitlevel} seed{s}: {acc:.1f}", flush=True)
             for r in brows:
                 r["ref_accs"] = ref_accs
+                if r["mode"] not in by_label:
+                    continue  # --only filtered out; keep its ref extension
                 label, sharing, model, pool, extra = by_label[r["mode"]]
                 extra = dict(extra)
                 bsz = extra.pop("batch_size", 512)
@@ -198,6 +203,33 @@ def main_big():
         with open(rows_path, "w") as f:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
+
+    if "--ref-only" in sys.argv:
+        # run ONLY the reference legs (CPU-bound C++ binary) and cache them
+        # as a __ref__ row — lets the reference seeds run concurrently with
+        # TPU work; a later --big invocation reuses them via `prior`
+        for bitlevel in (1,):
+            prior = next((r for r in rows if r["bitlevel"] == bitlevel), None)
+            ref_accs = list(prior["ref_accs"]) if prior else []
+            t_ref = prior["ref_time"] if prior else 0.0
+            for s in range(len(ref_accs), n_seeds):
+                ref_out = f"/tmp/parity_big_ref_b{bitlevel}_{s}.bin"
+                t_ref = run_reference(exe, corpus, ref_out, bitlevel, iters)
+                acc, ref_cov = evaluate(ref_out, questions)
+                ref_accs.append(acc)
+                print(f"ref b{bitlevel} seed{s}: {acc:.1f}", flush=True)
+            row = dict(bitlevel=bitlevel, mode="__ref__", ref_accs=ref_accs,
+                       our_accs=[], ref_cov=ref_cov, our_cov=0.0,
+                       ref_time=t_ref, our_time=0.0)
+            # __ref__ rows replace any prior __ref__ for the bitlevel
+            rows = [r for r in rows
+                    if not (r["mode"] == "__ref__"
+                            and r["bitlevel"] == bitlevel)] + [row]
+            with open(rows_path, "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+            print(json.dumps(row), flush=True)
+        return
 
     for bitlevel in (1,):
         ref_accs, t_ref = [], 0.0
@@ -247,19 +279,28 @@ def main_big():
                 "claims.  Reference = C++ binary, 4 threads; ours = the "
                 "shipped trainer at the bench config (B=8192, "
                 "neg_sharing=64, bf16 fused tables, auto_lr default).\n\n")
-        f.write("| bitlevel | mode | ref acc % | ours acc % | at/above |\n")
-        f.write("|---|---|---|---|---|\n")
+        f.write("| bitlevel | mode | seeds | ref acc % | ours acc % | "
+                "ours mean−σ | at/above | strong |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
         for r in rows:
+            if not r["our_accs"]:
+                continue  # __ref__ carrier rows hold no ours leg
             rm, rs = _stats(r["ref_accs"])
             om, os_ = _stats(r["our_accs"])
             # north-star criterion (BASELINE.md / VERDICT r2 weak #1):
             # ours_mean >= ref_mean - 1.0, no sigma allowance
             ok = "yes" if om + 1e-9 >= rm - 1.0 else "NO"
-            f.write(f"| {r['bitlevel']} | {r['mode']} | {rm:.1f}±{rs:.1f} "
-                    f"| {om:.1f}±{os_:.1f} | {ok} |\n")
+            # strong criterion (VERDICT r3 item 6): ours mean−1σ >= ref mean
+            strong = "yes" if om - os_ + 1e-9 >= rm else "no"
+            f.write(f"| {r['bitlevel']} | {r['mode']} "
+                    f"| {len(r['our_accs'])} | {rm:.1f}±{rs:.1f} "
+                    f"| {om:.1f}±{os_:.1f} | {om - os_:.1f} | {ok} "
+                    f"| {strong} |\n")
         f.write(
             "\nat/above = ours_mean >= ref_mean - 1.0, the BASELINE.md "
-            "north star (no sigma allowance).\n"
+            "north star (no sigma allowance).  strong = ours mean−1σ >= "
+            "ref mean (VERDICT r3 item 6's bar for the benched config's "
+            "quality evidence).\n"
             "\nThe a0.10/a0.15 rows are large-batch LR probes.  The "
             "round-3 5-seed campaign (fresh corpus, final round-2 code) "
             "shows alpha=0.10 clearly above both the base row and the "
