@@ -65,3 +65,41 @@ def test_bf16_checkpoint_roundtrip(tmp_path):
     result = train(Word2BitsConfig(iter=2, resume=True, **base))
     assert len(result.epoch_losses) == 1
     assert np.isfinite(result.u.astype(np.float32)).all()
+
+
+def test_bf16_checkpoint_roundtrip(tmp_path):
+    """bf16 params checkpoint bit-exactly via the uint16 encoding (round 4:
+    half the bytes of the old fp32 upcast at flagship scale)."""
+    import jax.numpy as jnp
+    from word2bits_tpu.train import load_checkpoint, save_checkpoint
+
+    rng = np.random.default_rng(0)
+    u = rng.uniform(-0.5, 0.5, (37, 8)).astype(jnp.bfloat16)
+    v = rng.uniform(-0.5, 0.5, (37, 8)).astype(jnp.bfloat16)
+    path = str(tmp_path / "state.npz")
+    import jax
+    save_checkpoint(path, u, v, 3, jax.random.PRNGKey(9), 123.0)
+    cu, cv, epoch, key, words = load_checkpoint(path)
+    assert cu.dtype == jnp.bfloat16 and cv.dtype == jnp.bfloat16
+    assert cu.view(np.uint16).tobytes() == u.view(np.uint16).tobytes()
+    assert cv.view(np.uint16).tobytes() == v.view(np.uint16).tobytes()
+    assert epoch == 3 and words == 123.0
+
+
+def test_checkpoint_every_epoch_off(tmp_path):
+    """-checkpoint-every-epoch 0 saves only after the final epoch (the
+    flagship cadence: each save is a full-table fetch at scale)."""
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=40)
+    ckpt = str(tmp_path / "ckpt")
+    mtimes = []
+
+    cfg = Word2BitsConfig(train_file=corpus, iter=3, bitlevel=1, size=8,
+                          window=2, negative=3, min_count=1, batch_size=32,
+                          steps_per_chunk=4, debug=0, checkpoint_dir=ckpt,
+                          checkpoint_every_epoch=False, seed=3)
+    res = train(cfg)
+    assert len(res.epoch_losses) == 3
+    from word2bits_tpu.train import load_checkpoint
+    _, _, epoch, _, _ = load_checkpoint(os.path.join(ckpt, "state.npz"))
+    assert epoch == 2  # only the final epoch's state exists

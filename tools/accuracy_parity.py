@@ -214,7 +214,11 @@ def main_big():
             t_ref = prior["ref_time"] if prior else 0.0
             for s in range(len(ref_accs), n_seeds):
                 ref_out = f"/tmp/parity_big_ref_b{bitlevel}_{s}.bin"
-                t_ref = run_reference(exe, corpus, ref_out, bitlevel, iters)
+                if "--reuse-bins" in sys.argv and os.path.exists(ref_out):
+                    pass  # reuse a finished leg from an interrupted campaign
+                else:
+                    t_ref = run_reference(exe, corpus, ref_out, bitlevel,
+                                          iters)
                 acc, ref_cov = evaluate(ref_out, questions)
                 ref_accs.append(acc)
                 print(f"ref b{bitlevel} seed{s}: {acc:.1f}", flush=True)

@@ -117,11 +117,17 @@ def main():
         fused_tables=True, dtype="bfloat16", rmw_scatter=True,
         steps_per_chunk=1, segment_tokens=_arg("--segment", 1 << 25, int),
         checkpoint_dir=ckpt, debug=2, seed=1,
+        # every checkpoint at this scale is a ~12 GB blocked tunnel fetch;
+        # one per leg (after the leg's final epoch) is the resume evidence
+        checkpoint_every_epoch=False,
         device_epoch=(False if "--host-epoch" in sys.argv else None),
     )
 
     t0 = time.perf_counter()
-    cfg = Word2BitsConfig(iter=2, **common)
+    # leg 1 trains + checkpoints but skips the vector export (the resume
+    # leg overwrites it anyway; at flagship scale the export is another
+    # full-table fetch + an 11.8 GB file write)
+    cfg = Word2BitsConfig(iter=2, **dict(common, output_file=None))
     res = train(cfg)
     t_train = time.perf_counter() - t0
     transcript["train"] = dict(
@@ -132,9 +138,10 @@ def main():
     print(json.dumps(transcript["train"]), flush=True)
 
     # resume from the epoch-2 checkpoint and train one more epoch — the
-    # full-state resume path at flagship scale
+    # full-state resume path at flagship scale (resume=True: without it a
+    # second leg silently retrains from scratch)
     t0 = time.perf_counter()
-    cfg3 = Word2BitsConfig(iter=3, **common)
+    cfg3 = Word2BitsConfig(iter=3, resume=True, **common)
     res3 = train(cfg3)
     transcript["resume"] = dict(
         extra_epochs=1, wall_s=round(time.perf_counter() - t0, 1),

@@ -178,6 +178,11 @@ class Word2BitsConfig:
     # export vectors per epoch, not resume — SURVEY.md section 5).
     checkpoint_dir: Optional[str] = None
     resume: bool = False
+    # Checkpoint cadence: True (default) saves after every epoch; False
+    # saves only after the run's final epoch.  At flagship scale every
+    # checkpoint is a full-table device fetch (~12 GB through the tunnel),
+    # so per-epoch checkpointing is a deliberate cost knob.
+    checkpoint_every_epoch: bool = True
     # Corpora beyond this many encoded tokens stream through the device in
     # fixed segments per epoch (keeps token arrays bounded next to the
     # embedding tables in HBM).  268M tokens ~= 2 GB of epoch arrays.
@@ -469,6 +474,8 @@ REFERENCE_FLAGS = {
     "-model": ("model", str),
     "-packed": ("packed", lambda s: bool(int(s))),
     "-checkpoint-dir": ("checkpoint_dir", str),
+    "-checkpoint-every-epoch": ("checkpoint_every_epoch",
+                                lambda s: bool(int(s))),
     "-resume": ("resume", lambda s: bool(int(s))),
     "-auto-lr": ("auto_lr", lambda s: bool(int(s))),
     "-use-pallas": ("use_pallas", lambda s: bool(int(s))),

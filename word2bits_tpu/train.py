@@ -311,7 +311,12 @@ def train(cfg: Word2BitsConfig,
     u, v = engine.u, engine.v
 
     def _uv(u_, v_):
-        """Split params for export/checkpoint (fused mode interleaves)."""
+        """Split params for export/checkpoint (fused mode interleaves).
+
+        Multi-GB tables come back through to_numpy_blocked: the axon tunnel
+        wedges on one-shot materializations at flagship scale
+        (word2bits_tpu/utils/fetch.py postmortem)."""
+        from word2bits_tpu.utils.fetch import to_numpy_blocked
         if fused_mode:
             from word2bits_tpu.models.cbow_fused import deinterleave
             vp, cp = engine.table_pad
@@ -321,7 +326,7 @@ def train(cfg: Word2BitsConfig,
                 # would briefly hold a second near-full table — the
                 # capacity path exists precisely because one table is all
                 # that fits
-                t = np.asarray(u_)
+                t = to_numpy_blocked(u_)
                 t = t[:t.shape[0] - vp, :t.shape[1] - cp]
                 half = t.shape[1] // 2
                 return t[:, :half], t[:, half:]
@@ -329,7 +334,7 @@ def train(cfg: Word2BitsConfig,
         vp, cp = engine.table_pad
         if vp or cp:
             # split-table span storage: trim the sweep padding host-side
-            un, vn = np.asarray(u_), np.asarray(v_)
+            un, vn = to_numpy_blocked(u_), to_numpy_blocked(v_)
             return (un[:un.shape[0] - vp, :un.shape[1] - cp],
                     vn[:vn.shape[0] - vp, :vn.shape[1] - cp])
         return u_, v_
@@ -341,6 +346,7 @@ def train(cfg: Word2BitsConfig,
 
     epoch_losses: List[float] = []
     total_steps = 0
+    final_uv = None  # last epoch's fetched (u, v), reused by the export
     cold_width = [0]  # -hot-rows: grows monotonically across segments/epochs
 
     # device-side epoch preparation (-device-epoch 1): upload the encoded
@@ -498,15 +504,23 @@ def train(cfg: Word2BitsConfig,
         _log(cfg, f"Epoch Loss: {epoch_loss:.6f}")
         epoch_losses.append(epoch_loss)
 
-        if sharded is not None and (cfg.save_every_epoch or ckpt_path
-                                    or on_epoch_end or stop
-                                    or epoch == cfg.iter - 1):
+        last = stop or epoch == cfg.iter - 1
+        # -checkpoint-every-epoch 0: checkpoint only after the final epoch —
+        # at flagship scale every checkpoint is a full-table tunnel fetch
+        # (~12 GB), so the cadence is a flag
+        want_ckpt = bool(ckpt_path) and (cfg.checkpoint_every_epoch or last)
+        if sharded is not None and (cfg.save_every_epoch or want_ckpt
+                                    or on_epoch_end or last):
             u, v = sharded.params()
-        if cfg.save_every_epoch or ckpt_path or on_epoch_end:
+        if cfg.save_every_epoch or want_ckpt or on_epoch_end or last:
             uu, vv = _uv(u, v)
+            if last:
+                # reuse for the final export below — at flagship scale a
+                # second _uv is a second multi-GB device fetch
+                final_uv = (uu, vv)
         if cfg.save_every_epoch and cfg.output_file and cfg.classes == 0:
             _write_output(f"{cfg.output_file}_epoch{epoch}", vocab, uu, vv, cfg)
-        if ckpt_path:
+        if want_ckpt:
             os.makedirs(cfg.checkpoint_dir, exist_ok=True)
             save_checkpoint(ckpt_path, uu, vv, epoch, key, words_done)
         if on_epoch_end is not None:
@@ -514,9 +528,12 @@ def train(cfg: Word2BitsConfig,
         if stop:
             break
 
-    if sharded is not None and u is None:
-        u, v = sharded.params()
-    u, v = _uv(u, v)
+    if final_uv is not None:
+        u, v = final_uv
+    else:
+        if sharded is not None and u is None:
+            u, v = sharded.params()
+        u, v = _uv(u, v)
     wall = time.perf_counter() - t_train0
     wps = words_done / max(wall, 1e-9)
 
@@ -547,15 +564,33 @@ def _write_output(path: str, vocab: Vocab, u, v, cfg: Word2BitsConfig):
 # Checkpoint / resume (extension over the reference's export-only snapshots)
 # ---------------------------------------------------------------------------
 
+def _ckpt_encode(a):
+    """numpy cannot serialize bfloat16 (saves as a void dtype).  bf16
+    params are stored as their uint16 bit pattern + a dtype tag (exact,
+    half the bytes of the old fp32 upcast — 23.7 GB -> 11.8 GB at the
+    3.7M x 800d flagship); everything else upcasts to float32."""
+    a = np.asarray(a)
+    if a.dtype == jnp.bfloat16:
+        return a.view(np.uint16), "bfloat16"
+    return a.astype(np.float32, copy=False), "float32"
+
+
+def _ckpt_decode(z, name):
+    a = z[name]
+    tag = name + "_dtype"
+    if tag in z.files and str(z[tag]) == "bfloat16":
+        return a.view(jnp.bfloat16)
+    return a
+
+
 def save_checkpoint(path: str, u, v, epoch: int, key, words_done: float):
-    # store params as float32: numpy cannot serialize bfloat16 (saves as a
-    # void dtype); the upcast is lossless and train() re-casts on resume
-    np.savez(path, u=np.asarray(u).astype(np.float32),
-             v=np.asarray(v).astype(np.float32), epoch=epoch,
+    ue, ut = _ckpt_encode(u)
+    ve, vt = _ckpt_encode(v)
+    np.savez(path, u=ue, v=ve, u_dtype=ut, v_dtype=vt, epoch=epoch,
              key=np.asarray(key), words_done=words_done)
 
 
 def load_checkpoint(path: str):
     z = np.load(path)
-    return (z["u"], z["v"], int(z["epoch"]), jnp.asarray(z["key"]),
-            float(z["words_done"]))
+    return (_ckpt_decode(z, "u"), _ckpt_decode(z, "v"), int(z["epoch"]),
+            jnp.asarray(z["key"]), float(z["words_done"]))
