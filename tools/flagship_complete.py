@@ -1,0 +1,114 @@
+"""Complete a flagship run from its final checkpoint: export + eval.
+
+The round-4 60M-token / 3.7M-vocab flagship trained all 3 epochs (2 + a
+resumed 3rd) and saved the epoch-2 full-state checkpoint, then crashed in
+the export phase: io.output_vectors re-quantized ON DEVICE while the chip
+still held the 12.3 GB training table (ResourceExhausted).  The export and
+eval paths are now host-side/blocked (io/vectors.py, eval/analogy.py);
+this tool replays exactly the post-training tail of tools/flagship_run.py
+from the checkpoint — no retraining — and writes the transcript with the
+train/resume stats carried over from the crashed run's logs (passed in
+via --train-json/--resume-json).
+
+Usage:
+  python tools/flagship_complete.py [--skip-eval]
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+RUN = os.path.join(REPO, ".bench_cache", "flagship")
+
+
+def main():
+    from word2bits_tpu.data.vocab import Vocab
+    from word2bits_tpu.io.vectors import output_vectors, write_vectors
+    from word2bits_tpu.train import load_checkpoint
+
+    corpus = os.path.join(RUN, "corpus_60000000_3700000.txt")
+    questions = os.path.join(RUN, "questions.txt")
+    out = os.path.join(RUN, "vectors.bin")
+    ckpt = os.path.join(RUN, "ckpt", "state.npz")
+    vocab_file = os.path.join(RUN, "vocab.txt")
+
+    transcript = {"config": dict(tokens=60_000_000, vocab=3_700_000,
+                                 size=800, bitlevel=1)}
+    for k in ("train", "resume"):
+        flag = f"--{k}-json"
+        if flag in sys.argv:
+            transcript[k] = json.loads(sys.argv[sys.argv.index(flag) + 1])
+
+    if os.path.exists(vocab_file):
+        vocab = Vocab.load(vocab_file, min_count=1)
+    else:
+        from word2bits_tpu.data.corpus import build_vocab
+        t0 = time.perf_counter()
+        vocab = build_vocab(corpus, min_count=1)
+        vocab.save(vocab_file)
+        print(f"vocab rebuilt in {time.perf_counter() - t0:.0f}s", flush=True)
+    print(f"vocab: {vocab.size}", flush=True)
+
+    t0 = time.perf_counter()
+    u, v, epoch, _, words_done = load_checkpoint(ckpt)
+    assert epoch == 2, f"expected the epoch-2 flagship state, got {epoch}"
+    assert u.shape == (vocab.size, 800), u.shape
+    print(f"checkpoint loaded in {time.perf_counter() - t0:.0f}s "
+          f"(epoch {epoch}, words_done {words_done:.0f})", flush=True)
+
+    t0 = time.perf_counter()
+    vecs = output_vectors(u, v, 1)          # host-side quantize(u+v, 1)
+    del u, v
+    write_vectors(out, vocab.words, vecs, binary=True)
+    from word2bits_tpu.io.packed import write_packed
+    write_packed(out + ".pack", vocab.words, vecs, 1)
+    t_exp = time.perf_counter() - t0
+    sizes = {os.path.basename(p): os.path.getsize(p)
+             for p in (out, out + ".pack") if os.path.exists(p)}
+    transcript["artifacts"] = dict(sizes, export_wall_s=round(t_exp, 1))
+    print(json.dumps(transcript["artifacts"]), flush=True)
+
+    if "--skip-eval" not in sys.argv:
+        t0 = time.perf_counter()
+        from word2bits_tpu.eval.analogy import (evaluate_analogies,
+                                                load_questions)
+        res_e = evaluate_analogies(vocab.words, vecs, load_questions(questions),
+                                   bitlevel=0)
+        transcript["eval"] = dict(
+            rows=vocab.size, wall_s=round(time.perf_counter() - t0, 1),
+            total_accuracy=round(res_e.total_accuracy, 2),
+            coverage=round(res_e.coverage, 2))
+        print(json.dumps(transcript["eval"]), flush=True)
+
+    md = os.path.join(REPO, "docs", "flagship_r4_transcript.md")
+    with open(md, "w") as f:
+        f.write(
+            "# Flagship end-to-end run (3.7M x 800d, 1-bit, one v5e)\n\n"
+            "60M-token corpus, 3,699,941-word vocabulary, 800d 1-bit — the "
+            "reference's headline artifact scale (reference README.md:39).  "
+            "Full production path: streamed multi-epoch training with bf16 "
+            "fused tables + Pallas group-RMW scatter (no-scan donated "
+            "steps, device-built epochs), full-state checkpoint after each "
+            "leg, resume for a 3rd epoch, reference-format binary + packed "
+            "export, full-vocab analogy evaluation.\n\n"
+            "Provenance: training legs ran via tools/flagship_run.py; the "
+            "first attempt's export crashed on a device OOM (the export "
+            "re-quantized on-chip beside the resident 12.3 GB training "
+            "table) AFTER all 3 epochs trained and the epoch-2 checkpoint "
+            "was saved.  The export/eval paths were made host-side/blocked "
+            "(io/vectors.py, eval/analogy.py) and completed from that "
+            "checkpoint by tools/flagship_complete.py — numbers below are "
+            "from the actual runs; nothing was retrained or simulated.\n\n"
+            "```json\n" + json.dumps(transcript, indent=2) + "\n```\n\n"
+            f"Generated {time.strftime('%Y-%m-%d %H:%M')}.\n")
+    print(f"wrote {md}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

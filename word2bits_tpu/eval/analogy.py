@@ -95,22 +95,26 @@ class AnalogyResult:
 import functools
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _analogy_scores(M_norm: jax.Array, abc: jax.Array,
-                    v_block: int = 32768) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _analogy_scores(Mp: jax.Array, abc: jax.Array,
+                    v_block: int, V: int) -> jax.Array:
     """(Q,3) word-row indices -> (Q,) argmax-excluding-abc best row ids and
     best scores.  The vocabulary axis is processed in blocks with a running
     max so peak memory is Q*v_block, not Q*V (a (Q,V) score matrix would be
     tens of GB at the 3.7M-vocab configuration).  Tie-breaking matches the
     reference's first-strictly-greater scan (src/compute-accuracy.c:166-176):
     within a block argmax takes the first max; across blocks an earlier
-    block's winner survives ties."""
-    V, D = M_norm.shape
-    vec = M_norm[abc[:, 1]] - M_norm[abc[:, 0]] + M_norm[abc[:, 2]]  # [Q, D]
+    block's winner survives ties.
+
+    Mp arrives ZERO-PADDED to a v_block multiple (host-side, rows >= V
+    excluded below): an in-jit pad held a second full table on the device,
+    which OOMs the chip at the 3.7M x 800d flagship shape where one table
+    is 11.8 GB of the 16 GB HBM (round-4 postmortem)."""
+    D = Mp.shape[1]
+    vec = Mp[abc[:, 1]] - Mp[abc[:, 0]] + Mp[abc[:, 2]]  # [Q, D]
     Q = vec.shape[0]
-    nb = (V + v_block - 1) // v_block
-    Mp = jnp.pad(M_norm, ((0, nb * v_block - V), (0, 0)))
-    neg = jnp.asarray(-jnp.inf, M_norm.dtype)
+    nb = Mp.shape[0] // v_block
+    neg = jnp.asarray(-jnp.inf, Mp.dtype)
 
     def body(carry, i):
         best, besti = carry
@@ -140,7 +144,7 @@ def evaluate_analogies(words: List[str], vectors: np.ndarray,
                        threshold: int = 0,
                        batch_size: int = 4096) -> AnalogyResult:
     """Reference compute_accuracy as a batched device computation."""
-    from word2bits_tpu.ops.quantize import quantize
+    from word2bits_tpu.ops.quantize import quantize_np
 
     M = np.asarray(vectors, dtype=np.float32)
     if threshold and M.shape[0] > threshold:
@@ -158,12 +162,13 @@ def evaluate_analogies(words: List[str], vectors: np.ndarray,
     # a prediction landing on a case-duplicate row of the answer is correct.
     canon = np.asarray([index[w.upper()] for w in words], dtype=np.int64)
 
-    Mq = np.asarray(quantize(jnp.asarray(M), bitlevel))
+    # host-side numpy twin: the device round-trip (upload 11.8 GB, quantize,
+    # fetch) is pure waste for one elementwise pass at flagship scale
+    Mq = quantize_np(M, bitlevel)
     norm = np.sqrt((Mq * Mq).sum(axis=1, keepdims=True))
     with np.errstate(divide="ignore", invalid="ignore"):
         Mn = Mq / norm
     Mn[~np.isfinite(Mn)] = 0.0
-    Mn_dev = jnp.asarray(Mn)
 
     S = len(questions.sections)
     tq = len(questions.questions)
@@ -181,12 +186,18 @@ def evaluate_analogies(words: List[str], vectors: np.ndarray,
     n = res.shape[0]
 
     ok = np.zeros(n, dtype=bool)
-    v_block = min(32768, max(128, ((Mn.shape[0] + 127) // 128) * 128))
+    V_true = Mn.shape[0]
+    v_block = min(32768, max(128, ((V_true + 127) // 128) * 128))
+    vpad = (-V_true) % v_block
+    if vpad:  # zero rows, host-side; excluded in-kernel via gidx >= V
+        Mn = np.concatenate([Mn, np.zeros((vpad, Mn.shape[1]), Mn.dtype)])
+    Mn_dev = jnp.asarray(Mn)
     for ofs in range(0, n, batch_size):
         m = min(batch_size, n - ofs)
         abc_np = np.zeros((batch_size, 3), np.int32)  # pad: one compile shape
         abc_np[:m] = res[ofs:ofs + m, 1:4]
-        best, best_score = _analogy_scores(Mn_dev, jnp.asarray(abc_np), v_block)
+        best, best_score = _analogy_scores(Mn_dev, jnp.asarray(abc_np),
+                                           v_block, V_true)
         best = np.asarray(best)[:m]
         pos = np.asarray(best_score)[:m] > 0.0  # reference bestd starts at 0 (:115)
         ok[ofs:ofs + m] = pos & (canon[best] == answers[ofs:ofs + m])

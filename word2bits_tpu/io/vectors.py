@@ -112,9 +112,14 @@ def read_vectors(path: str, binary: bool | None = None,
 
 def output_vectors(u: np.ndarray, v: np.ndarray, bitlevel: int) -> np.ndarray:
     """The exported representation: quantize(u + v, bitlevel)
-    (reference src/word2bits.cpp:548-550)."""
-    from word2bits_tpu.ops.quantize import quantize
-    import jax.numpy as jnp
+    (reference src/word2bits.cpp:548-550).
 
-    s = jnp.asarray(np.asarray(u, np.float32) + np.asarray(v, np.float32))
-    return np.asarray(quantize(s, bitlevel))
+    Computed HOST-side via the numpy twin (ops/quantize.quantize_np, proven
+    equal to the jax op by tests/test_quantize.py): at flagship scale the
+    device path uploads an 11.8 GB fp32 sum to a chip that may still hold
+    the training table (round-4 export OOM) and fetches it back through
+    the wedge-prone tunnel, for an op that is one elementwise pass."""
+    from word2bits_tpu.ops.quantize import quantize_np
+
+    s = np.asarray(u, np.float32) + np.asarray(v, np.float32)
+    return np.asarray(quantize_np(s, bitlevel), np.float32)

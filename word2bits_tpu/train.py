@@ -392,6 +392,7 @@ def train(cfg: Word2BitsConfig,
             _log(cfg, f"WARNING: profiler unavailable ({e})")
 
     t_train0 = time.perf_counter()
+    words_at_start = words_done  # resumed runs report THIS run's rate only
     stop = False
 
     for epoch in range(start_epoch, cfg.iter):
@@ -483,7 +484,8 @@ def train(cfg: Word2BitsConfig,
                     epoch_loss = float(loss_acc)  # host fetch = device sync
                     a0 = cfg.effective_alpha
                     alpha_now = max(a0 * (1 - words_done / denom), a0 * 1e-4)
-                    wps = words_done / max(time.perf_counter() - t_train0, 1e-9)
+                    wps = (words_done - words_at_start) / max(
+                        time.perf_counter() - t_train0, 1e-9)
                     print(f"\rAlpha: {alpha_now:.6f}  "
                           f"Progress: {min(words_done / denom * 100, 100.0):.2f}%  "
                           f"Cost: {epoch_loss:.2f} "
@@ -529,13 +531,22 @@ def train(cfg: Word2BitsConfig,
             break
 
     if final_uv is not None:
+        # free the device table before export/eval consumers run: at
+        # flagship scale the chip cannot hold the training table AND any
+        # further device work (round-4 export OOM postmortem)
+        for buf in (u, v):
+            if hasattr(buf, "delete"):
+                try:
+                    buf.delete()
+                except Exception:
+                    pass
         u, v = final_uv
     else:
         if sharded is not None and u is None:
             u, v = sharded.params()
         u, v = _uv(u, v)
     wall = time.perf_counter() - t_train0
-    wps = words_done / max(wall, 1e-9)
+    wps = (words_done - words_at_start) / max(wall, 1e-9)
 
     if cfg.output_file:
         if cfg.classes == 0:
