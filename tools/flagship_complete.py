@@ -55,23 +55,37 @@ def main():
         print(f"vocab rebuilt in {time.perf_counter() - t0:.0f}s", flush=True)
     print(f"vocab: {vocab.size}", flush=True)
 
-    t0 = time.perf_counter()
-    u, v, epoch, _, words_done = load_checkpoint(ckpt)
-    assert epoch == 2, f"expected the epoch-2 flagship state, got {epoch}"
-    assert u.shape == (vocab.size, 800), u.shape
-    print(f"checkpoint loaded in {time.perf_counter() - t0:.0f}s "
-          f"(epoch {epoch}, words_done {words_done:.0f})", flush=True)
+    u = v = None
+    if not ("--reuse-export" in sys.argv and os.path.exists(out)):
+        t0 = time.perf_counter()
+        u, v, epoch, _, words_done = load_checkpoint(ckpt)
+        assert epoch == 2, f"expected the epoch-2 flagship state, got {epoch}"
+        assert u.shape == (vocab.size, 800), u.shape
+        print(f"checkpoint loaded in {time.perf_counter() - t0:.0f}s "
+              f"(epoch {epoch}, words_done {words_done:.0f})", flush=True)
 
-    t0 = time.perf_counter()
-    vecs = output_vectors(u, v, 1)          # host-side quantize(u+v, 1)
+    if "--reuse-export" in sys.argv and os.path.exists(out):
+        # artifacts already written by a prior invocation: round-trip the
+        # binary instead of recomputing (also validates the written file)
+        from word2bits_tpu.io.vectors import read_vectors
+        t0 = time.perf_counter()
+        words_rt, vecs = read_vectors(out)
+        assert len(words_rt) == vocab.size
+        t_exp = float(sys.argv[sys.argv.index("--export-wall")
+                               + 1]) if "--export-wall" in sys.argv else None
+        print(f"reused export ({time.perf_counter() - t0:.0f}s read-back)",
+              flush=True)
+    else:
+        t0 = time.perf_counter()
+        vecs = output_vectors(u, v, 1)      # host-side quantize(u+v, 1)
+        write_vectors(out, vocab.words, vecs, binary=True)
+        from word2bits_tpu.io.packed import write_packed
+        write_packed(out + ".pack", vocab.words, vecs, 1)
+        t_exp = round(time.perf_counter() - t0, 1)
     del u, v
-    write_vectors(out, vocab.words, vecs, binary=True)
-    from word2bits_tpu.io.packed import write_packed
-    write_packed(out + ".pack", vocab.words, vecs, 1)
-    t_exp = time.perf_counter() - t0
     sizes = {os.path.basename(p): os.path.getsize(p)
              for p in (out, out + ".pack") if os.path.exists(p)}
-    transcript["artifacts"] = dict(sizes, export_wall_s=round(t_exp, 1))
+    transcript["artifacts"] = dict(sizes, export_wall_s=t_exp)
     print(json.dumps(transcript["artifacts"]), flush=True)
 
     if "--skip-eval" not in sys.argv:

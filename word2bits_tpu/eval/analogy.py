@@ -191,6 +191,14 @@ def evaluate_analogies(words: List[str], vectors: np.ndarray,
     vpad = (-V_true) % v_block
     if vpad:  # zero rows, host-side; excluded in-kernel via gidx >= V
         Mn = np.concatenate([Mn, np.zeros((vpad, Mn.shape[1]), Mn.dtype)])
+    dpad = (-Mn.shape[1]) % 128
+    if dpad:
+        # column-pad to the TPU 128-lane tile host-side: an unpadded-width
+        # argument makes XLA relayout the table into a tiled HLO temp — at
+        # 3.7M x 800 that temp is 12.4 GB next to the 11 GB argument, the
+        # round-4 eval OOM.  Zero columns contribute nothing to the dots.
+        Mn = np.concatenate(
+            [Mn, np.zeros((Mn.shape[0], dpad), Mn.dtype)], axis=1)
     Mn_dev = jnp.asarray(Mn)
     for ofs in range(0, n, batch_size):
         m = min(batch_size, n - ofs)

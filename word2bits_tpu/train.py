@@ -533,9 +533,13 @@ def train(cfg: Word2BitsConfig,
     if final_uv is not None:
         # free the device table before export/eval consumers run: at
         # flagship scale the chip cannot hold the training table AND any
-        # further device work (round-4 export OOM postmortem)
+        # further device work (round-4 export OOM postmortem).  Only
+        # buffers final_uv does NOT alias (the padded paths return host
+        # copies; the plain path returns the same objects — deleting those
+        # would hand the caller dead arrays)
         for buf in (u, v):
-            if hasattr(buf, "delete"):
+            if (buf is not final_uv[0] and buf is not final_uv[1]
+                    and hasattr(buf, "delete")):
                 try:
                     buf.delete()
                 except Exception:
