@@ -114,7 +114,10 @@ def _analogy_scores(Mp: jax.Array, abc: jax.Array,
     vec = Mp[abc[:, 1]] - Mp[abc[:, 0]] + Mp[abc[:, 2]]  # [Q, D]
     Q = vec.shape[0]
     nb = Mp.shape[0] // v_block
-    neg = jnp.asarray(-jnp.inf, Mp.dtype)
+    # scores/carry stay f32 regardless of the table dtype (the flagship
+    # path ships the table bf16; dots accumulate f32 via preferred_element_
+    # type below)
+    neg = jnp.float32(-jnp.inf)
 
     def body(carry, i):
         best, besti = carry
@@ -199,6 +202,14 @@ def evaluate_analogies(words: List[str], vectors: np.ndarray,
         # round-4 eval OOM.  Zero columns contribute nothing to the dots.
         Mn = np.concatenate(
             [Mn, np.zeros((Mn.shape[0], dpad), Mn.dtype)], axis=1)
+    if Mn.nbytes > (2 << 30):
+        # flagship scale: ship the table bf16.  XLA:TPU converts f32 matmul
+        # operands to bf16 for the MXU anyway (it hoisted a full-table
+        # 6.2 GB convert temp out of the scan — the second round-4 eval
+        # OOM); converting host-side halves the argument too.  Scores
+        # still accumulate f32.  Small tables keep f32 end-to-end (exact
+        # parity with the reference evaluator is tested there).
+        Mn = Mn.astype(jnp.bfloat16)
     Mn_dev = jnp.asarray(Mn)
     for ofs in range(0, n, batch_size):
         m = min(batch_size, n - ofs)
