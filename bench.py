@@ -51,20 +51,29 @@ BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
 N_TOKENS = 4_000_000
 VOCAB = 70_000
 # Quality-verified configuration: measured DIRECTLY at text8 scale (~16M
-# tokens, 5 seeds, docs/acceptance_benchcfg.md) — at B=8192 the shipped
-# alpha=0.10 row lands 56.9±8.3 vs reference 45.7±3.3, ABOVE the reference
-# mean and meeting the within-1-point north star (BASELINE.md); alpha=0.05
-# at this batch measured 41.3±6.0 (below), so the bench config carries the
-# measured large-batch LR explicitly (alpha is a scalar in the LR schedule
-# — zero throughput effect).  bf16 fused tables validated at/above f32
-# convergence (ACCEPTANCE.md).
+# tokens, 8 seeds each, docs/acceptance_benchcfg.md, round 4), criterion =
+# STRONG (ours mean−1σ >= reference mean; VERDICT r3 item 6):
+#   alpha=0.05 (old default)    42.5±5.8   below the reference mean
+#   alpha=0.10                  56.0±8.0   north-star pass; strong by −0.1
+#   alpha=0.10 + pool2          68.3±4.4   STRONG +15.8   <- SHIPPED
+#   alpha=0.10 + pool4 / pool8  70.7±9.7 / 70.1±4.7   strong, but slower
+#     (pool8 measured 7.6M words/sec vs pool2's 14.2M at this shape)
+# So the bench config carries BOTH measured quality knobs: the large-batch
+# LR (scalar, zero throughput effect) and -neg-pool 2 (each negative set
+# shared by G/P=32 centers instead of 64 — a real ~15% throughput cost the
+# headline pays for its strong quality evidence).  bf16 fused tables
+# validated at/above f32 convergence (ACCEPTANCE.md).
 CFG = dict(bitlevel=1, size=200, window=8, negative=24, min_count=5,
            sample=1e-3, alpha=0.10, batch_size=8192, steps_per_chunk=16,
-           neg_sharing=64, dtype="bfloat16",
+           neg_sharing=64, neg_pool=2, dtype="bfloat16",
            # hot/cold scatter + negative-sampling + windowed-sum variants
            # (0/None = off); adjudicated IN-PROCESS by the child (VARIANTS)
            hot_rows=0, neg_mode="sample",  # "sample" | "dense_hot"
            banded=0)
+# Results recorded to RESULTS_LOG carry this tag; the stale fallback only
+# publishes entries measured at the SAME quality configuration (a number
+# measured under an older config must not back a different config's claim)
+CFG_TAG = "pool2-a0.10-b8192"
 # Quality-safe step variants adjudicated by the child at bench time (the
 # round-2 scatter/windowed redesigns).  STRICTLY update-equal only: hot
 # restructures the scatter (same updates), banded changes float summation
@@ -150,7 +159,8 @@ def _record_result(obj: dict):
     stale-fallback source when a wedged tunnel defeats every live attempt
     (VERDICT r3 item 1c).  Tracked in git (unlike .bench_cache/) so it
     survives session/round boundaries."""
-    rec = dict(obj, measured_at=time.strftime("%Y-%m-%dT%H:%M:%S"))
+    rec = dict(obj, measured_at=time.strftime("%Y-%m-%dT%H:%M:%S"),
+               cfg_tag=CFG_TAG)
     try:
         with open(RESULTS_LOG, "a") as f:
             f.write(json.dumps(rec) + "\n")
@@ -173,6 +183,8 @@ def _stale_best() -> dict | None:
                 continue
             if "metric" not in obj or obj.get("stale"):
                 continue
+            if obj.get("cfg_tag") != CFG_TAG:
+                continue  # measured under a different quality config
             if best is None or obj.get("value", 0) > best.get("value", 0):
                 best = obj
     except OSError:
@@ -380,7 +392,8 @@ def main():
         D2 = 2 * cfg["size"]
         nbytes = np.dtype(cfg["dtype"]).itemsize
         slab = B + 2 * W
-        tk = (B // cfg["neg_sharing"]) * cfg["negative"]
+        tk = (B // cfg["neg_sharing"]) * cfg["negative"] \
+            * int(cfg.get("neg_pool", 1))
         row = D2 * nbytes
         gathers = (slab + tk // 2) * row          # neg gather = half row
         if cfg.get("scatter_impl") in ("sweep", "span"):
@@ -439,6 +452,8 @@ def main():
         sw = int(cfg.get("span_window", 512))
         chunk_fn = make_fused_train_chunk(hyper, V, B, Sv,
                                           neg_sharing=cfg["neg_sharing"],
+                                          neg_pool=int(
+                                              cfg.get("neg_pool", 1)),
                                           hot_rows=hot, dense_hot=dense,
                                           banded=int(cfg.get("banded") or 0),
                                           scatter_impl=simpl,

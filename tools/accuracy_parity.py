@@ -166,6 +166,12 @@ def main_big():
         ("bench-8192-64-pool4-a0.10", 64, "cbow", 4,
          dict(fused_tables=True, dtype="bfloat16", batch_size=8192,
               alpha=0.10)),
+        # round 4: pool2 probes the cheap end of the pool class (sharing
+        # degree 32) — pool8/pool4 both clear the strong criterion; the
+        # shipped config is the FASTEST pool that still clears it
+        ("bench-8192-64-pool2-a0.10", 64, "cbow", 2,
+         dict(fused_tables=True, dtype="bfloat16", batch_size=8192,
+              alpha=0.10)),
     ]
     if "--only" in sys.argv:  # comma-separated mode labels to (re)run
         labels = set(sys.argv[sys.argv.index("--only") + 1].split(","))
@@ -305,24 +311,27 @@ def main_big():
             "north star (no sigma allowance).  strong = ours mean−1σ >= "
             "ref mean (VERDICT r3 item 6's bar for the benched config's "
             "quality evidence).\n"
-            "\nThe a0.10/a0.15 rows are large-batch LR probes.  The "
-            "round-3 5-seed campaign (fresh corpus, final round-2 code) "
-            "shows alpha=0.10 clearly above both the base row and the "
-            "reference — inverting the round-2 3-seed table, which was "
-            "measured before the round-2 code finalized.  bench.py's "
-            "shipped configuration therefore carries alpha=0.10 "
-            "explicitly (its row is the bench quality evidence); auto_lr "
-            "still adds no automatic large-batch term, because the "
-            "round-2 sweeps showed the batch/LR interaction is not "
-            "monotone across grids (docs/acceptance_notes.md) — the "
-            "large-batch alpha stays a measured per-config choice.\n"
-            "\nThe densehot and pool rows change the negative-sampling "
-            "estimator (not update-equal), so they stay out of bench.py's "
-            "adjudication set regardless of their means here; densehot's "
-            "±12.5 spread at this shape (and its below-base round-2 "
-            "measurement) keeps it an opt-in trade verified per-corpus "
-            "(cli tune).  pool4/pool8 + alpha=0.10 are the quality "
-            "headroom rows: same throughput class, highest means.\n")
+            "\nRound-4 campaign (8 seeds, per-seed rows git-tracked in "
+            ".bench_cache/parity_rows_v2_big.jsonl): plain alpha=0.05 at "
+            "B=8192 is below the reference; alpha=0.10 clears the north "
+            "star comfortably but its mean−1σ lands 0.1 below the "
+            "reference mean (not 'strong'); the pool class clears the "
+            "strong criterion at every tested degree (pool2 +15.8, pool4 "
+            "+12.9, pool8 +17.3 points of mean−1σ margin) — so bench.py's "
+            "shipped configuration is the FASTEST strong-clearing pool, "
+            "-neg-pool 2 -alpha 0.10 (VERDICT r3 item 6's adopt-the-pool-"
+            "class branch; pool2 measured 14.2M words/sec vs pool8's "
+            "7.6M), and the headline throughput is measured AT that "
+            "config.  auto_lr still adds no automatic large-batch term "
+            "(the batch/LR interaction is not monotone across grids — "
+            "docs/acceptance_notes.md); the large-batch alpha stays a "
+            "measured per-config choice.\n"
+            "\nThe densehot row changes the negative-sampling estimator "
+            "with a wide spread at this shape, so it remains an opt-in "
+            "trade verified per-corpus (cli tune).  bench.py's "
+            "adjudication set (span scatter, banded sums, scan-chunk "
+            "size) stays strictly update-equal WITHIN the pool8 config, "
+            "so the headline inherits this table's pool8 row directly.\n")
         seeds_used = max(len(r["our_accs"]) for r in rows) if rows else 0
         f.write(f"\nGenerated {time.strftime('%Y-%m-%d %H:%M')} by "
                 f"tools/accuracy_parity.py --big (seeds={seeds_used}).\n")
