@@ -330,8 +330,8 @@ def main_big():
             "with a wide spread at this shape, so it remains an opt-in "
             "trade verified per-corpus (cli tune).  bench.py's "
             "adjudication set (span scatter, banded sums, scan-chunk "
-            "size) stays strictly update-equal WITHIN the pool8 config, "
-            "so the headline inherits this table's pool8 row directly.\n")
+            "size) stays strictly update-equal WITHIN the pool2 config, "
+            "so the headline inherits this table's pool2 row directly.\n")
         seeds_used = max(len(r["our_accs"]) for r in rows) if rows else 0
         f.write(f"\nGenerated {time.strftime('%Y-%m-%d %H:%M')} by "
                 f"tools/accuracy_parity.py --big (seeds={seeds_used}).\n")
