@@ -107,6 +107,13 @@ VARIANTS = [
          scatter_impl="span", span_window=256),
     dict(name="span_banded256_S128_w128", banded=256, steps_per_chunk=128,
          scatter_impl="span", span_window=128),
+    # pool2 ships ~14.4k update rows/step (6144 negative rows at P*K=48):
+    # a 1024-row window halves the window-visit count at the same swept
+    # bytes, and S=512 further amortizes dispatch
+    dict(name="span_banded256_S256_w1024", banded=256, steps_per_chunk=256,
+         scatter_impl="span", span_window=1024),
+    dict(name="span_banded256_S512", banded=256, steps_per_chunk=512,
+         scatter_impl="span"),
     dict(name="span_S128", steps_per_chunk=128, scatter_impl="span"),
     # previous round's winner as the fallback; the set is kept SMALL —
     # r3 bench-child runs showed the remote backend can wedge

@@ -90,6 +90,12 @@ def main():
                                          span_window=128)),
         ("uniq_probe_S128", 128, dict(scatter_impl="uniq_probe")),
         ("uniqsort_probe_S128", 128, dict(scatter_impl="uniqsort_probe")),
+        # round-4 shipped config (pool2): cost split at the headline shape
+        ("p2_add_S256", 256, dict(neg_pool=2)),
+        ("p2_span_S256", 256, dict(scatter_impl="span", neg_pool=2,
+                                   col_pad=(-2 * D) % 128)),
+        ("p2_dense_probe_S256", 256, dict(scatter_impl="dense_probe",
+                                          neg_pool=2)),
     ]
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
     results = {}
