@@ -14,8 +14,9 @@ same adjudication for the fixed benchmark corpus.
 Quality notes printed per variant (details: ARCHITECTURE.md, ACCEPTANCE.md):
   - hot-rows / banded produce the SAME updates as the base step
     (restructured scatter / float-order-only);
-  - fused+shared pools negatives across tile centers (use -neg-pool 8 to
-    restore per-center statistics at ~the same speed);
+  - fused+shared pools negatives across tile centers (-neg-pool P lowers
+    the sharing degree to G/P; pool2 is the measured quality/throughput
+    sweet spot at text8 scale — docs/acceptance_benchcfg.md);
   - dense-hot replaces sampled hot negatives with their exact expectation
     (measured at-or-above sampled quality at reference defaults);
   - bf16 halves table HBM; validated at/above f32 convergence.
@@ -78,7 +79,10 @@ def variants(cfg: Word2BitsConfig, V: int) -> List[Tuple[str, Dict, str]]:
     hot = min(hot, V - 1)
     fused = dict(fused_tables=True, neg_sharing=G)
     if not (cfg.fused_tables and cfg.neg_sharing):
-        pool = 8 if G % 8 == 0 else 1
+        # pool2 is the measured quality/throughput sweet spot at text8
+        # scale (8-seed strong-criterion rows, docs/acceptance_benchcfg.md:
+        # pool2 68.3±4.4 at 14.2M words/sec vs pool8 70.1±4.7 at 7.6M)
+        pool = 2 if G % 2 == 0 else 1
         out.append(("fused-pool", dict(fused, neg_pool=pool),
                     "pooled negatives (sharing degree G/P; see -neg-pool)"))
     if hot > 0:
