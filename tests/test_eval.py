@@ -155,3 +155,38 @@ def test_real_google_analogies_parse():
     assert len(q.sections) == 14
     assert len(q.questions) == 19544
     assert q.sections[0] == "capital-common-countries"
+
+
+def test_bf16_table_branch_matches_f32(monkeypatch):
+    """The flagship-scale bf16 table shipping path (analogy._BF16_TABLE_
+    BYTES) produces the same rankings as the f32 path on a well-separated
+    toy problem (round 4; the branch only triggers >2 GB in production)."""
+    import word2bits_tpu.eval.analogy as A
+
+    words, M, qs = _toy_setup()
+    full = evaluate_analogies(words, M, qs)
+    monkeypatch.setattr(A, "_BF16_TABLE_BYTES", 0)
+    small = evaluate_analogies(words, M, qs)
+    assert small.total_accuracy == full.total_accuracy
+    assert small.coverage == full.coverage
+
+
+def test_to_numpy_blocked_roundtrip():
+    """utils/fetch.to_numpy_blocked == np.asarray for every block split."""
+    import jax.numpy as jnp
+    from word2bits_tpu.utils.fetch import to_numpy_blocked
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(103, 17)).astype(np.float32))
+    ref = np.asarray(x)
+    for bb in (1, 64, 1000, 10**9):
+        out = to_numpy_blocked(x, block_bytes=bb)
+        np.testing.assert_array_equal(out, ref)
+    # bf16 path preserves bits
+    xb = x.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        to_numpy_blocked(xb, block_bytes=128).view(np.uint16),
+        np.asarray(xb).view(np.uint16))
+    # 1-D and numpy inputs take the direct path
+    np.testing.assert_array_equal(to_numpy_blocked(x[:, 0]), ref[:, 0])
+    np.testing.assert_array_equal(to_numpy_blocked(ref), ref)

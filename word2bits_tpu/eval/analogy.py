@@ -94,6 +94,11 @@ class AnalogyResult:
 
 import functools
 
+# Tables above this many bytes ship to the device as bf16 (see the comment
+# at the use site); module constant so tests can exercise the branch on
+# small tables.
+_BF16_TABLE_BYTES = 2 << 30
+
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _analogy_scores(Mp: jax.Array, abc: jax.Array,
@@ -202,7 +207,7 @@ def evaluate_analogies(words: List[str], vectors: np.ndarray,
         # round-4 eval OOM.  Zero columns contribute nothing to the dots.
         Mn = np.concatenate(
             [Mn, np.zeros((Mn.shape[0], dpad), Mn.dtype)], axis=1)
-    if Mn.nbytes > (2 << 30):
+    if Mn.nbytes > _BF16_TABLE_BYTES:
         # flagship scale: ship the table bf16.  XLA:TPU converts f32 matmul
         # operands to bf16 for the MXU anyway (it hoisted a full-table
         # 6.2 GB convert temp out of the scan — the second round-4 eval
