@@ -25,12 +25,13 @@ bench_results.jsonl — if a wedged tunnel defeats every live attempt, the
 best recorded result is published marked "stale" instead of emitting
 nothing.
 
-Variant adjudication: the child measures the base config first, then the
-round-2 quality-safe step variants (hot/cold scatter split, dense-hot
-negatives, banded windowed sums — each proven update- or expectation-equal
-to the base step; ARCHITECTURE.md), publishing strictly improving results
-as it goes (stdout + PARTIAL_FILE sidecar).  The reported number is the
-best configuration the chip actually served this run.
+Variant adjudication: children measure small sets of quality-safe step
+variants (span scatter, banded windowed sums, scan-chunk size — each
+proven update-equal to the base step; ARCHITECTURE.md), the FIRST set
+being the single expected winner so one healthy tunnel window lands the
+headline, publishing strictly improving results as they go (stdout +
+PARTIAL_FILE sidecar).  The reported number is the best configuration the
+chip actually served this run.
 """
 
 import json
