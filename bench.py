@@ -108,13 +108,10 @@ VARIANTS = [
          scatter_impl="span", span_window=256),
     dict(name="span_banded256_S128_w128", banded=256, steps_per_chunk=128,
          scatter_impl="span", span_window=128),
-    # pool2 ships ~14.4k update rows/step (6144 negative rows at P*K=48):
-    # a 1024-row window halves the window-visit count at the same swept
-    # bytes, and S=512 further amortizes dispatch
-    dict(name="span_banded256_S256_w1024", banded=256, steps_per_chunk=256,
-         scatter_impl="span", span_window=1024),
-    dict(name="span_banded256_S512", banded=256, steps_per_chunk=512,
-         scatter_impl="span"),
+    # measured negatives at the pool2 shape (one-off children, 2026-08-20):
+    # w1024 13.4M and S512 14.13M, both at-or-below the S256/w512 winner
+    # (14.16M) — dropped from the set rather than left as dead config
+    # (they also inflated S_max and thus every child's epoch capacity)
     dict(name="span_S128", steps_per_chunk=128, scatter_impl="span"),
     # previous round's winner as the fallback; the set is kept SMALL —
     # r3 bench-child runs showed the remote backend can wedge
@@ -295,6 +292,11 @@ def _supervise() -> int:
         attempts = (len(RETRY_DELAYS) + 1) if si == 0 else 1
         for i in range(attempts):
             if i:
+                # check BEFORE sleeping: a backoff that cannot be followed
+                # by a full child is budget burned doing nothing — move on
+                # to the later (no-sleep) sets instead
+                if budget_left() < CHILD_TIMEOUT + RETRY_DELAYS[i - 1]:
+                    break
                 print(f"bench: attempt {i} failed; sleeping "
                       f"{RETRY_DELAYS[i-1]:.0f}s to let the tunnel "
                       "recover...", file=sys.stderr, flush=True)

@@ -67,9 +67,11 @@ def test_bf16_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(result.u.astype(np.float32)).all()
 
 
-def test_bf16_checkpoint_roundtrip(tmp_path):
+def test_bf16_checkpoint_bit_exact(tmp_path):
     """bf16 params checkpoint bit-exactly via the uint16 encoding (round 4:
-    half the bytes of the old fp32 upcast at flagship scale)."""
+    half the bytes of the old fp32 upcast at flagship scale).  Named
+    distinctly from the train/resume roundtrip test above — a duplicate
+    name silently shadows the earlier test (caught in round-4 review)."""
     import jax.numpy as jnp
     from word2bits_tpu.train import load_checkpoint, save_checkpoint
 
@@ -92,14 +94,34 @@ def test_checkpoint_every_epoch_off(tmp_path):
     corpus = str(tmp_path / "c.txt")
     _make_corpus(corpus, n_sentences=40)
     ckpt = str(tmp_path / "ckpt")
-    mtimes = []
 
-    cfg = Word2BitsConfig(train_file=corpus, iter=3, bitlevel=1, size=8,
-                          window=2, negative=3, min_count=1, batch_size=32,
-                          steps_per_chunk=4, debug=0, checkpoint_dir=ckpt,
-                          checkpoint_every_epoch=False, seed=3)
-    res = train(cfg)
-    assert len(res.epoch_losses) == 3
+    # count actual saves: the final file always reads epoch==iter-1 (same
+    # path rewritten), so only a call count discriminates the cadence
+    import word2bits_tpu.train as T
+    real_save = T.save_checkpoint
+    calls = []
+
+    def counting_save(path, u, v, epoch, key, words_done):
+        calls.append(epoch)
+        return real_save(path, u, v, epoch, key, words_done)
+
+    T.save_checkpoint = counting_save
+    try:
+        cfg = Word2BitsConfig(train_file=corpus, iter=3, bitlevel=1, size=8,
+                              window=2, negative=3, min_count=1,
+                              batch_size=32, steps_per_chunk=4, debug=0,
+                              checkpoint_dir=ckpt,
+                              checkpoint_every_epoch=False, seed=3)
+        res = train(cfg)
+        assert len(res.epoch_losses) == 3
+        assert calls == [2]  # exactly one save, after the final epoch
+        calls.clear()
+        cfg2 = cfg.replace(checkpoint_every_epoch=True,
+                           checkpoint_dir=str(tmp_path / "ck2"))
+        train(cfg2)
+        assert calls == [0, 1, 2]  # default cadence: every epoch
+    finally:
+        T.save_checkpoint = real_save
     from word2bits_tpu.train import load_checkpoint
     _, _, epoch, _, _ = load_checkpoint(os.path.join(ckpt, "state.npz"))
-    assert epoch == 2  # only the final epoch's state exists
+    assert epoch == 2

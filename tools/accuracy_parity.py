@@ -215,9 +215,16 @@ def main_big():
         # as a __ref__ row — lets the reference seeds run concurrently with
         # TPU work; a later --big invocation reuses them via `prior`
         for bitlevel in (1,):
-            prior = next((r for r in rows if r["bitlevel"] == bitlevel), None)
+            # prefer an existing __ref__ carrier row (its legs are the
+            # freshest/longest); any mode row is only a fallback
+            prior = next((r for r in rows if r["bitlevel"] == bitlevel
+                          and r["mode"] == "__ref__"), None)
+            if prior is None:
+                prior = next((r for r in rows if r["bitlevel"] == bitlevel),
+                             None)
             ref_accs = list(prior["ref_accs"]) if prior else []
             t_ref = prior["ref_time"] if prior else 0.0
+            ref_cov = prior["ref_cov"] if prior else 100.0
             for s in range(len(ref_accs), n_seeds):
                 ref_out = f"/tmp/parity_big_ref_b{bitlevel}_{s}.bin"
                 if "--reuse-bins" in sys.argv and os.path.exists(ref_out):
@@ -244,7 +251,10 @@ def main_big():
     for bitlevel in (1,):
         ref_accs, t_ref = [], 0.0
         ref_cov = 100.0
-        prior = next((r for r in rows if r["bitlevel"] == bitlevel), None)
+        prior = next((r for r in rows if r["bitlevel"] == bitlevel
+                      and r["mode"] == "__ref__"),
+                     next((r for r in rows if r["bitlevel"] == bitlevel),
+                          None))
         if prior is not None:  # reference legs are reusable across modes
             ref_accs = list(prior["ref_accs"])
             ref_cov = prior["ref_cov"]
