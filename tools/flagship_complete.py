@@ -100,17 +100,11 @@ def main():
             coverage=round(res_e.coverage, 2))
         print(json.dumps(transcript["eval"]), flush=True)
 
-    md = os.path.join(REPO, "docs", "flagship_r4_transcript.md")
-    with open(md, "w") as f:
-        f.write(
-            "# Flagship end-to-end run (3.7M x 800d, 1-bit, one v5e)\n\n"
-            "60M-token corpus, 3,699,941-word vocabulary, 800d 1-bit — the "
-            "reference's headline artifact scale (reference README.md:39).  "
-            "Full production path: streamed multi-epoch training with bf16 "
-            "fused tables + Pallas group-RMW scatter (no-scan donated "
-            "steps, device-built epochs), full-state checkpoint after each "
-            "leg, resume for a 3rd epoch, reference-format binary + packed "
-            "export, full-vocab analogy evaluation.\n\n"
+    from flagship_transcript import write_transcript
+    md = write_transcript(
+        transcript, 60_000_000, vocab.size, 800,
+        "tools/flagship_run.py + tools/flagship_complete.py",
+        provenance=(
             "Provenance: training legs ran via tools/flagship_run.py; the "
             "first attempt's export crashed on a device OOM (the export "
             "re-quantized on-chip beside the resident 12.3 GB training "
@@ -118,9 +112,7 @@ def main():
             "was saved.  The export/eval paths were made host-side/blocked "
             "(io/vectors.py, eval/analogy.py) and completed from that "
             "checkpoint by tools/flagship_complete.py — numbers below are "
-            "from the actual runs; nothing was retrained or simulated.\n\n"
-            "```json\n" + json.dumps(transcript, indent=2) + "\n```\n\n"
-            f"Generated {time.strftime('%Y-%m-%d %H:%M')}.\n")
+            "from the actual runs; nothing was retrained or simulated."))
     print(f"wrote {md}", flush=True)
 
 

@@ -169,31 +169,9 @@ def main():
             coverage=round(res_e.coverage, 2))
         print(json.dumps(transcript["eval"]), flush=True)
 
-    # Title and filename derive from the ACTUAL scale run (VERDICT r3 weak
-    # #2: a smoke run must never publish under the flagship label).
-    size = _arg("--size", 800, int)
-    at_flagship = n_vocab >= 3_000_000 and n_tokens >= 50_000_000
-    if at_flagship:
-        md = os.path.join(REPO, "docs", "flagship_r4_transcript.md")
-        title = (f"# Flagship end-to-end run ({n_vocab / 1e6:.1f}M x {size}d,"
-                 " 1-bit, one v5e)\n\n"
-                 "The full production path at the reference's headline scale "
-                 "(reference README.md:39): ")
-    else:
-        md = os.path.join(REPO, "docs",
-                          f"flagship_smoke_{n_tokens}_{n_vocab}.md")
-        title = (f"# flagship_run.py SMOKE run ({n_vocab:,} vocab x {size}d "
-                 f"on {n_tokens:,} tokens — NOT the flagship scale)\n\n"
-                 "A reduced-scale exercise of the flagship path: ")
-    with open(md, "w") as f:
-        f.write(title +
-                "streamed multi-epoch training with bf16 "
-                "fused tables + Pallas group-RMW scatter (no-scan donated "
-                "steps), full-state checkpoint + resume, reference-format "
-                "binary + packed export, full-vocab analogy evaluation.  "
-                "Produced by tools/flagship_run.py.\n\n"
-                "```json\n" + json.dumps(transcript, indent=2) + "\n```\n\n"
-                f"Generated {time.strftime('%Y-%m-%d %H:%M')}.\n")
+    from flagship_transcript import write_transcript
+    md = write_transcript(transcript, n_tokens, n_vocab,
+                          _arg("--size", 800, int), "tools/flagship_run.py")
     print(f"wrote {md}", flush=True)
 
 
