@@ -73,8 +73,12 @@ CFG = dict(bitlevel=1, size=200, window=8, negative=24, min_count=5,
            banded=0)
 # Results recorded to RESULTS_LOG carry this tag; the stale fallback only
 # publishes entries measured at the SAME quality configuration (a number
-# measured under an older config must not back a different config's claim)
-CFG_TAG = "pool2-a0.10-b8192"
+# measured under an older config must not back a different config's claim).
+# Derived from the quality-relevant CFG keys so a CFG edit can never leave
+# a stale tag behind (ADVICE r4).
+CFG_TAG = (f"pool{CFG['neg_pool']}-a{CFG['alpha']:.2f}-b{CFG['batch_size']}"
+           f"-bl{CFG['bitlevel']}-d{CFG['size']}-neg{CFG['negative']}"
+           f"-{CFG['neg_mode']}")
 # Quality-safe step variants adjudicated by the child at bench time (the
 # round-2 scatter/windowed redesigns).  STRICTLY update-equal only: hot
 # restructures the scatter (same updates), banded changes float summation

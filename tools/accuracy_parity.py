@@ -191,9 +191,13 @@ def main_big():
                 ref_accs.append(acc)
                 print(f"ref b{bitlevel} seed{s}: {acc:.1f}", flush=True)
             for r in brows:
-                r["ref_accs"] = ref_accs
                 if r["mode"] not in by_label:
-                    continue  # --only filtered out; keep its ref extension
+                    # --only filtered out: leave the row's ref_accs at its
+                    # our_accs seed count — extending only the reference
+                    # side would make the row compare means over unequal
+                    # seed counts (ADVICE r4)
+                    continue
+                r["ref_accs"] = ref_accs
                 label, sharing, model, pool, extra = by_label[r["mode"]]
                 extra = dict(extra)
                 bsz = extra.pop("batch_size", 512)

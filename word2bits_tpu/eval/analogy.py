@@ -23,6 +23,7 @@ Reference behaviors preserved:
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -208,6 +209,12 @@ def evaluate_analogies(words: List[str], vectors: np.ndarray,
         Mn = np.concatenate(
             [Mn, np.zeros((Mn.shape[0], dpad), Mn.dtype)], axis=1)
     if Mn.nbytes > _BF16_TABLE_BYTES:
+        # user-visible: scores at this scale carry the documented bf16
+        # precision trade (ADVICE r4) — make that attributable in logs
+        print(f"analogy eval: table {Mn.nbytes / 1e9:.1f} GB > "
+              f"{_BF16_TABLE_BYTES / 1e9:.0f} GB — scoring in bfloat16 "
+              "(f32 accumulation); see eval/analogy.py",
+              file=sys.stderr, flush=True)
         # flagship scale: ship the table bf16.  XLA:TPU converts f32 matmul
         # operands to bf16 for the MXU anyway (it hoisted a full-table
         # 6.2 GB convert temp out of the scan — the second round-4 eval

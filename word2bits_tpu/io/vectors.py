@@ -115,7 +115,7 @@ def output_vectors(u: np.ndarray, v: np.ndarray, bitlevel: int) -> np.ndarray:
     (reference src/word2bits.cpp:548-550).
 
     Computed HOST-side via the numpy twin (ops/quantize.quantize_np, proven
-    equal to the jax op by tests/test_quantize.py): at flagship scale the
+    equal to the jax op by tests/test_convert.py): at flagship scale the
     device path uploads an 11.8 GB fp32 sum to a chip that may still hold
     the training table (round-4 export OOM) and fetches it back through
     the wedge-prone tunnel, for an op that is one elementwise pass."""

@@ -6,7 +6,7 @@ XLA serializes duplicate-safe scatters at ~50 ns/row (ARCHITECTURE.md
 ablation) AND — decisive for capacity — XLA:TPU copy-insertion NEVER runs
 `table.at[ids].add(rows)` in place on this backend, even with donation: the
 donated argument aliases the output, but the program still materializes a
-full table-sized `copy(table)` HLO temp (measured: tools/alias_exp2.py,
+full table-sized `copy(table)` HLO temp (measured: tools/alias_probes.py bisect,
 2026-08-19 — every scatter formulation pays it; `dynamic_update_slice` and
 Pallas custom calls with input_output_aliases do not).  At 3.7M x 800d bf16
 that copy is an 11.5 GB temp and the compile OOMs a 16 GB chip.
@@ -18,7 +18,7 @@ This kernel attacks both problems:
      must be aligned to tiling (8), but is 1"), so single-row RMW is not
      expressible — instead the [V, C] table is viewed as [V/8, 8, C] (a
      layout-preserving bitcast; aliasing survives it, proven by
-     tools/alias_exp4.py on the v5e) and each chain moves one 8-row group;
+     tools/alias_probes.py mosaic on the v5e) and each chain moves one 8-row group;
   2. each update row is pre-placed at its in-group offset (one-hot expand to
      [N, 8, C]), and ids are deduplicated BY GROUP in XLA first
      (ops.scatter._combine_block on gid = id >> 3 — an MXU mask-matmul per
@@ -228,7 +228,7 @@ def scatter_add_rmw(table, ids, rows, block: int = 512, slots: int = 32,
     # window: Pallas DOUBLE-BUFFERS the [block, grp, C] grid input, and the
     # slot array rides alongside, against a 16 MB scoped-vmem limit
     # (measured OOM at 27.6 MB with block=512, grp=16, C=1664 —
-    # tools/alias_exp3.py); 4 MB per buffer keeps 2x + slots well inside
+    # tools/alias_probes.py rmw); 4 MB per buffer keeps 2x + slots well inside
     it = jnp.dtype(table.dtype).itemsize
     while block > 32 and block * grp * C * it > (4 << 20):
         block //= 2

@@ -270,12 +270,13 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                     + 0.0 * ids[:1].astype(jnp.float32))
             return lax.dynamic_update_slice(tab, head.astype(tab.dtype),
                                             (0, 0))
-    elif scatter_impl in ("sweep", "span"):
-        # swept MXU placement (kernels/sweep_scatter.py / span_scatter.py):
-        # slab + negative rows combine into ONE sorted sweep below — `scat`
-        # must not be reached (the combined call replaces both call sites)
+    elif scatter_impl in ("sweep", "span", "grmw"):
+        # swept MXU placement (kernels/sweep_scatter.py / span_scatter.py /
+        # group_rmw.py): slab + negative rows combine into ONE sorted call
+        # below — `scat` must not be reached (the combined call replaces
+        # both call sites)
         def scat(tab, ids, rows):
-            raise AssertionError("sweep/span handle the update in one "
+            raise AssertionError("sweep/span/grmw handle the update in one "
                                  "combined call; scat() must not be reached")
     else:
         if scatter_impl != "add":
@@ -351,21 +352,33 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                 jnp.concatenate([jnp.zeros_like(nc), nc],
                                 axis=1).astype(table.dtype))
             return table, loss
-    elif scatter_impl in ("sweep", "span"):
+    elif scatter_impl in ("sweep", "span", "grmw"):
         # ONE combined sorted sweep for slab + negative rows: a single
         # sort/placement pass over all ~(B+2W + T*P*K) update rows
-        # (kernels/sweep_scatter.py / span_scatter.py) — same sums as the
-        # two .at[].add calls modulo float summation order.  For "span"
-        # with a hoisted plan (make_fused_train_chunk pre-draws the
-        # negatives and batches span_plan over the whole scan chunk), the
-        # per-step cost is one [N]-row permutation gather + the kernel.
+        # (kernels/sweep_scatter.py / span_scatter.py / group_rmw.py) —
+        # same sums as the two .at[].add calls modulo float summation
+        # order.  For "span"/"grmw" with a hoisted plan
+        # (make_fused_train_chunk pre-draws the negatives and batches the
+        # plan over the whole scan chunk), the per-step cost is one
+        # [N]-row permutation gather + the kernel.
         neg_rows = jnp.concatenate(
             [jnp.zeros(dv_neg.reshape(-1, D).shape, dt),
              dv_neg.reshape(-1, D)], axis=1)
         all_rows = jnp.concatenate([fused_rows, neg_rows])
         if col_pad:
             all_rows = jnp.pad(all_rows, ((0, 0), (0, col_pad)))
-        if scatter_impl == "span":
+        if scatter_impl == "grmw":
+            from word2bits_tpu.kernels.group_rmw import (
+                scatter_add_grmw, scatter_add_grmw_planned)
+            if span_plan is not None:
+                table = scatter_add_grmw_planned(table, span_plan, all_rows,
+                                                 chunk=span_chunk)
+            else:
+                all_ids = jnp.concatenate([slab_ids, negs.reshape(-1)])
+                table = scatter_add_grmw(table, all_ids,
+                                         all_rows.astype(table.dtype),
+                                         chunk=span_chunk)
+        elif scatter_impl == "span":
             from word2bits_tpu.kernels.span_scatter import (
                 scatter_add_span, scatter_add_span_planned)
             if span_plan is not None:
@@ -402,9 +415,22 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                            banded: int = 0,
                            rmw_scatter: bool = False, col_pad: int = 0,
                            scatter_impl: str = "add",
-                           span_window: int = 512, span_chunk: int = 128):
+                           span_window: int = 512, span_chunk: int = 128,
+                           loop_mode: str = "scan"):
     """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key
     [, cold_pos]) -> (table, loss_sum); table is the fused (V, 2D) array.
+
+    loop_mode selects how a steps>1 chunk iterates:
+      * "scan"   — lax.scan (default).  XLA double-buffers the carried
+        table (peak ~= 2x tables): fine up to ~2M x 800d bf16, OOM above.
+      * "fori"   — lax.fori_loop.  XLA's while-loop keeps the carry IN
+        PLACE (peak = 1x table + temps, verified by TPU memory_analysis at
+        3.7M x 800d), so huge-vocab configs amortize per-dispatch latency
+        over S steps instead of paying it every step like steps=1 — the
+        round-5 capacity-throughput fix (28.2 ms -> ~4 ms/step at the
+        flagship shape; tools/capacity_ablate.py).
+      * "unroll" — a Python loop traced S times; same aliasing property,
+        compile time grows with S.  Useful only as a cross-check.
 
     With hot_rows > 0, pass the trailing cold_pos argument — the int32
     [n_steps, C] per-step cold-row compaction map from
@@ -434,20 +460,22 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
             "rmw_scatter is the plain-scatter capacity path; it does not "
             "compose with use_pallas/dedup_block/hot_rows/strat_lanes/"
             "dense_hot (those restructure the scatter themselves)")
-    swept = scatter_impl in ("sweep", "span")
+    swept = scatter_impl in ("sweep", "span", "grmw")
     if col_pad and not (rmw_scatter or swept):
         raise ValueError("col_pad only applies with rmw_scatter / "
-                         "scatter_impl='sweep'/'span'")
+                         "scatter_impl='sweep'/'span'/'grmw'")
     if (rmw_scatter or swept) and (2 * hyper.size + col_pad) % 128:
         raise ValueError(
-            f"rmw_scatter/sweep/span store rows of width 2*size+col_pad = "
-            f"{2 * hyper.size + col_pad}; pad to a multiple of 128 lanes "
+            f"rmw_scatter/sweep/span/grmw store rows of width "
+            f"2*size+col_pad = {2 * hyper.size + col_pad}; pad to a "
+            f"multiple of 128 lanes "
             f"(col_pad={-(2 * hyper.size) % 128} for size={hyper.size})")
     if swept and (rmw_scatter or dedup_block or hot_rows
                   or strat_lanes is not None or dense_hot is not None):
-        raise ValueError("scatter_impl='sweep'/'span' replaces the plain "
-                         "scatter; it does not compose with rmw_scatter/"
-                         "dedup_block/hot_rows/strat_lanes/dense_hot")
+        raise ValueError("scatter_impl='sweep'/'span'/'grmw' replaces the "
+                         "plain scatter; it does not compose with "
+                         "rmw_scatter/dedup_block/hot_rows/strat_lanes/"
+                         "dense_hot")
 
     def one_step(table, s, k, tokens, sent_ids, atab, scalars, cold_pos,
                  pre_negs=None, span_plan=None):
@@ -513,21 +541,39 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
 
         return jax.jit(chunk1, donate_argnums=(0,) if donate else ())
 
+    if loop_mode not in ("scan", "fori", "unroll"):
+        raise ValueError(f"unknown loop_mode {loop_mode!r}")
+
+    def run_loop(body, carry, xs):
+        """Iterate body over xs with the selected loop construct; body has
+        the lax.scan signature (carry, x) -> (carry, None)."""
+        if loop_mode == "scan":
+            carry, _ = lax.scan(body, carry, xs)
+            return carry
+        if loop_mode == "unroll":
+            for s in range(steps):
+                carry, _ = body(carry, jax.tree.map(lambda a, s=s: a[s], xs))
+            return carry
+
+        def fbody(s, carry):
+            return body(carry, jax.tree.map(lambda a: a[s], xs))[0]
+
+        return lax.fori_loop(0, steps, fbody, carry)
+
     def chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key,
               cold_pos=None):
         atab = AliasTable(prob=alias_prob, alias=alias_alias)
         keys = jax.random.split(key, steps)
 
-        if scatter_impl == "span":
-            # hoist the span pre-pass out of the scan: every step's scatter
-            # ids are knowable at chunk entry — slab ids come from `tokens`
-            # and negatives are pre-drawn here with the step's own k_neg
-            # (identical draws, so updates are unchanged).  One batched
-            # sort + vector ops cover all S steps; the scan consumes the
-            # plans as xs and each step pays only the row permutation
-            # gather + the kernel (kernels/span_scatter.py).
-            from word2bits_tpu.kernels.span_scatter import span_plan
-
+        if scatter_impl in ("span", "grmw"):
+            # hoist the sort/plan pre-pass out of the scan: every step's
+            # scatter ids are knowable at chunk entry — slab ids come from
+            # `tokens` and negatives are pre-drawn here with the step's
+            # own k_neg (identical draws, so updates are unchanged).  One
+            # batched sort + vector ops cover all S steps; the scan
+            # consumes the plans as xs and each step pays only the row
+            # permutation gather + the kernel (kernels/span_scatter.py /
+            # group_rmw.py).
             def ids_of(s, k):
                 k_neg, _ = jax.random.split(k)
                 base = scalars.base0 + s * B
@@ -539,9 +585,17 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
 
             ids_all, negs_all = jax.vmap(ids_of)(
                 jnp.arange(steps, dtype=jnp.int32), keys)
-            plans = jax.vmap(lambda i: span_plan(
-                i, table.shape[0], window=span_window,
-                chunk=span_chunk))(ids_all)
+            if scatter_impl == "grmw":
+                from word2bits_tpu.kernels.group_rmw import group_plan
+                from word2bits_tpu.kernels.scatter_pallas import group_rows
+                grp = group_rows(table.dtype)
+                plans = jax.vmap(lambda i: group_plan(
+                    i, grp, chunk=span_chunk))(ids_all)
+            else:
+                from word2bits_tpu.kernels.span_scatter import span_plan
+                plans = jax.vmap(lambda i: span_plan(
+                    i, table.shape[0], window=span_window,
+                    chunk=span_chunk))(ids_all)
 
             def body_span(carry, xs):
                 table, loss = carry
@@ -552,8 +606,7 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                 return (table, loss + step_loss), None
 
             xs = (jnp.arange(steps, dtype=jnp.int32), keys, negs_all, plans)
-            (table, loss), _ = lax.scan(body_span, (table, jnp.float32(0.0)),
-                                        xs)
+            table, loss = run_loop(body_span, (table, jnp.float32(0.0)), xs)
             return table, loss
 
         def body(carry, xs):
@@ -564,7 +617,7 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
             return (table, loss + step_loss), None
 
         xs = (jnp.arange(steps, dtype=jnp.int32), keys)
-        (table, loss), _ = lax.scan(body, (table, jnp.float32(0.0)), xs)
+        table, loss = run_loop(body, (table, jnp.float32(0.0)), xs)
         return table, loss
 
     donate_argnums = (0,) if donate else ()

@@ -44,7 +44,7 @@ def _combine_block(ids, rows):
         preferred_element_type=jnp.float32,
         # HIGHEST: the TPU MXU truncates f32 operands to bf16 at DEFAULT
         # precision — measured 1.7e-2 abs error on f32 dedup sums
-        # (tools/alias_exp3.py, 2026-08-19); the mask side is exact either
+        # (tools/alias_probes.py rmw, 2026-08-19); the mask side is exact either
         # way, but the row values are not
         precision=jax.lax.Precision.HIGHEST).astype(rows.dtype)
     ids2 = jnp.where(is_first, ids, jnp.int32(0x7FFFFFF0))  # OOB -> dropped

@@ -29,8 +29,10 @@ def to_numpy_blocked(x, block_bytes: int = 1 << 28) -> np.ndarray:
     if isinstance(x, np.ndarray):
         return x
     nbytes = getattr(x, "nbytes", 0)
-    if x.ndim < 2 or nbytes <= block_bytes:
+    if x.ndim == 0 or nbytes <= block_bytes:
         return np.asarray(x)
+    # 1-D arrays block along axis 0 too — a multi-GB 1-D fetch would hit
+    # exactly the tunnel wedge this helper exists to avoid (ADVICE r4)
     n = x.shape[0]
     row_bytes = max(nbytes // max(n, 1), 1)
     rows = max(int(block_bytes // row_bytes), 1)
