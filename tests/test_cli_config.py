@@ -113,3 +113,41 @@ def test_neg_stratify_needs_two_lanes():
     with pytest.raises(ValueError, match="negative >= 2"):
         Word2BitsConfig(negative=1, neg_stratify=True, hot_rows=16,
                         fused_tables=True, neg_sharing=16)
+
+
+def test_grmw_requires_fused_path():
+    # the capacity scatter runs on the fused-table CBOW path only
+    with pytest.raises(ValueError, match="grmw"):
+        Word2BitsConfig(scatter_impl="grmw")
+    with pytest.raises(ValueError, match="single-chip"):
+        Word2BitsConfig(scatter_impl="grmw", fused_tables=True,
+                        neg_sharing=64, batch_size=128, mesh_shape="vocab=2")
+    with pytest.raises(ValueError, match="compose"):
+        Word2BitsConfig(scatter_impl="grmw", fused_tables=True,
+                        neg_sharing=64, batch_size=128, rmw_scatter=True)
+    cfg = config_from_argv(
+        "-fused-tables 1 -neg-sharing 64 -batch-size 128 "
+        "-scatter-impl grmw".split())
+    assert cfg.scatter_impl == "grmw"
+
+
+def test_loop_mode_flag():
+    with pytest.raises(ValueError, match="loop-mode"):
+        Word2BitsConfig(loop_mode="while")
+    with pytest.raises(ValueError, match="fused-table"):
+        Word2BitsConfig(loop_mode="fori")  # needs the fused CBOW path
+    cfg = config_from_argv(
+        "-fused-tables 1 -neg-sharing 64 -batch-size 128 "
+        "-loop-mode fori".split())
+    assert cfg.loop_mode == "fori"
+
+
+def test_rmw_scan_warning_suppressed_by_fori():
+    import warnings
+    kw = dict(fused_tables=True, neg_sharing=64, batch_size=128,
+              rmw_scatter=True, steps_per_chunk=4)
+    with pytest.warns(UserWarning, match="double-buffers"):
+        Word2BitsConfig(**kw)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        Word2BitsConfig(**kw, loop_mode="fori")

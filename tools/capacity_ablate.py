@@ -327,12 +327,22 @@ def main():
                                         col_pad=cpad, loop_mode="fori")
             measure_chunk(name, fn, B0, S, analyze_first=True)
 
-    if on("grmw_fori8_banded"):
+    for S in (8, 32):
+        name = f"grmw_fori{S}_banded"
+        if on(name):
+            fn = make_fused_train_chunk(hyper, V, B0, steps=S,
+                                        neg_sharing=G, scatter_impl="grmw",
+                                        col_pad=cpad, loop_mode="fori",
+                                        banded=256)
+            measure_chunk(name, fn, B0, S, analyze_first=True)
+
+    if on("grmw_fori8_banded_c256"):
         fn = make_fused_train_chunk(hyper, V, B0, steps=8,
                                     neg_sharing=G, scatter_impl="grmw",
                                     col_pad=cpad, loop_mode="fori",
-                                    banded=256)
-        measure_chunk("grmw_fori8_banded", fn, B0, 8, analyze_first=True)
+                                    banded=256, span_chunk=256)
+        measure_chunk("grmw_fori8_banded_c256", fn, B0, 8,
+                      analyze_first=True)
 
     if on("grmw_fori8_B65536"):
         fn = make_fused_train_chunk(hyper, V, 65_536, steps=8,

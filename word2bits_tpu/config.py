@@ -65,6 +65,16 @@ class Word2BitsConfig:
     # bench runs B=8192).
     batch_size: int = 0
     steps_per_chunk: int = 256 # steps fused into one jitted scan call
+    # How a steps_per_chunk > 1 chunk iterates (fused-table CBOW path):
+    # "scan" = lax.scan (default; XLA double-buffers the carried table, ~2x
+    # peak HBM — fine to ~2M x 800d bf16); "fori" = lax.fori_loop, whose
+    # while-loop carry stays IN PLACE (TPU memory_analysis: peak = 1x table
+    # + temps at 3.7M x 800d), so huge-vocab configs amortize the per-step
+    # dispatch latency that -steps-per-chunk 1 pays — pair with
+    # -scatter-impl grmw for the flagship capacity path (measured 2.5M
+    # words/sec vs round-4's 581k; tools/capacity_ablate.py).  "unroll"
+    # traces the step S times (same aliasing; compile time grows with S).
+    loop_mode: str = "scan"
     # Negative-sample sharing tile: 0 = per-center draws (exact reference
     # semantics); G > 0 shares each tile of G centers' negatives, turning the
     # score/gradient contractions into MXU matmuls (standard batched-word2vec
@@ -160,10 +170,22 @@ class Word2BitsConfig:
     # all-gathered over the data axis — parallel/sharded_slab.py); the
     # table storage is padded (rows to span_window, columns to the 128-lane
     # tile) and exports/checkpoints slice the padding off.
+    # "grmw" = the sorted group-RMW kernel (kernels/group_rmw.py): sorted
+    # compact rows open pipelined read-modify-write chains on their 16-row
+    # (bf16; 8 f32) sublane groups with one-hot MXU placement in-kernel.
+    # Update-equal modulo float order, peak HBM = 1x table like
+    # -rmw-scatter, but without the XLA group-layout expansion + dedup
+    # combine that cost the round-4 capacity path 21 ms/step — the
+    # huge-vocab winner (3.7M x 800d bf16: 2.5M words/sec with -loop-mode
+    # fori -banded-tile 256 vs 581k for rmw_scatter;
+    # tools/capacity_ablate.py, v5e 2026-08-20).  Single-chip CBOW fused/
+    # slab paths; storage pads rows to the sublane group and columns to
+    # the 128-lane tile.
     scatter_impl: str = "add"
     # Sweep geometry (scatter_impl="span"): rows per table window per DMA
     # (VMEM accumulator is [2, span_window, cols]) and sorted-stream rows
-    # per grid step.  Tune with tools/step_bench.py / bench.py variants.
+    # per grid step ("grmw" reuses span_chunk as its row-chunk size).
+    # Tune with tools/step_bench.py / bench.py variants.
     span_window: int = 512
     span_chunk: int = 128
     # Multi-chip dense-hot balance (-mesh-shape + -neg-dense-hot): place the
@@ -342,9 +364,41 @@ class Word2BitsConfig:
                 raise ValueError(
                     "neg_stratify needs -negative >= 2 so each nonzero "
                     "stratum gets a lane (sampling/unigram.lane_split)")
-        if self.scatter_impl not in ("add", "span"):
+        if self.scatter_impl not in ("add", "span", "grmw"):
             raise ValueError(f"unknown -scatter-impl {self.scatter_impl!r} "
-                             "(supported: add, span)")
+                             "(supported: add, span, grmw)")
+        if self.scatter_impl == "grmw":
+            if self.mesh_shape:
+                raise ValueError(
+                    "-scatter-impl grmw is single-chip (the capacity "
+                    "path); the mesh composes with -scatter-impl span")
+            if self.model != "cbow" or not (self.fused_tables
+                                            and self.neg_sharing):
+                raise ValueError(
+                    "-scatter-impl grmw runs on the fused-table CBOW path "
+                    "(-fused-tables 1 -neg-sharing G -model cbow)")
+            if (self.rmw_scatter or self.dedup_block or self.hot_rows
+                    or self.neg_stratify or self.neg_dense_hot
+                    or self.use_pallas):
+                raise ValueError(
+                    "-scatter-impl grmw replaces the plain scatter; it "
+                    "does not compose with rmw_scatter/dedup_block/"
+                    "hot_rows/neg_stratify/neg_dense_hot/use_pallas")
+            if self.span_chunk <= 0:
+                raise ValueError("-span-chunk must be positive, "
+                                 f"got {self.span_chunk}")
+        if self.loop_mode not in ("scan", "fori", "unroll"):
+            raise ValueError(f"unknown -loop-mode {self.loop_mode!r} "
+                             "(supported: scan, fori, unroll)")
+        if self.loop_mode != "scan":
+            if self.mesh_shape:
+                raise ValueError("-loop-mode applies to the single-chip "
+                                 "fused CBOW chunk (the mesh trainer scans)")
+            if self.model != "cbow" or not (self.fused_tables
+                                            and self.neg_sharing):
+                raise ValueError(
+                    "-loop-mode fori/unroll runs on the fused-table CBOW "
+                    "path (-fused-tables 1 -neg-sharing G -model cbow)")
         if self.scatter_impl == "span":
             if self.model != "cbow":
                 raise ValueError("-scatter-impl span runs on the CBOW "
@@ -384,7 +438,7 @@ class Word2BitsConfig:
                     "rmw_scatter is the plain-scatter capacity path; it "
                     "does not compose with use_pallas/dedup_block/"
                     "hot_rows/neg_stratify/neg_dense_hot")
-            if self.steps_per_chunk > 1:
+            if self.steps_per_chunk > 1 and self.loop_mode == "scan":
                 # rmw_scatter exists for 1x-table peak HBM; lax.scan
                 # double-buffers the carried table and silently negates it
                 import warnings
@@ -392,7 +446,8 @@ class Word2BitsConfig:
                     "rmw_scatter with -steps-per-chunk > 1 runs the scan "
                     "path, which double-buffers the carried table (~2x peak "
                     "HBM) — the capacity benefit rmw_scatter exists for "
-                    "needs -steps-per-chunk 1", stacklevel=2)
+                    "needs -steps-per-chunk 1 or -loop-mode fori "
+                    "(in-place while-loop carry)", stacklevel=2)
         if self.mesh_shape:
             # the sharded bodies have no Pallas or dedup-scatter path —
             # reject rather than silently run a different kernel than asked
@@ -465,6 +520,7 @@ REFERENCE_FLAGS = {
     # Extensions beyond the reference:
     "-batch-size": ("batch_size", int),
     "-steps-per-chunk": ("steps_per_chunk", int),
+    "-loop-mode": ("loop_mode", str),
     "-segment-tokens": ("segment_tokens", int),
     "-seed": ("seed", int),
     "-dtype": ("dtype", str),

@@ -152,11 +152,12 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
         from word2bits_tpu.models.cbow_fused import (
             interleave, make_fused_train_chunk)
         vpad = cpad = 0
-        if cfg.rmw_scatter:
-            # pad the table storage to what the RMW kernel's HBM DMA can
-            # slice (kernels/scatter_pallas.py): rows to the dtype sublane
-            # group, columns to the 128-lane tile; padding stays zero and
-            # is sliced off at export (tests/test_rmw_chunk.py)
+        if cfg.rmw_scatter or cfg.scatter_impl == "grmw":
+            # pad the table storage to what the RMW kernels' HBM DMA can
+            # slice (kernels/scatter_pallas.py, kernels/group_rmw.py): rows
+            # to the dtype sublane group, columns to the 128-lane tile;
+            # padding stays zero and is sliced off at export
+            # (tests/test_rmw_chunk.py)
             from word2bits_tpu.kernels.scatter_pallas import group_rows
             vpad = (-V) % group_rows(u.dtype)
             cpad = (-2 * cfg.size) % 128
@@ -179,7 +180,8 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
                                           col_pad=cpad,
                                           scatter_impl=cfg.scatter_impl,
                                           span_window=cfg.span_window,
-                                          span_chunk=cfg.span_chunk)
+                                          span_chunk=cfg.span_chunk,
+                                          loop_mode=cfg.loop_mode)
 
         # -hot-rows: the per-segment cold-row compaction map, updated by the
         # segment loop below (an explicit jit arg; the holder just threads it
@@ -245,7 +247,8 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
 
     fused_mode = bool(sharded is None and cfg.fused_tables
                       and cfg.neg_sharing and cfg.model == "cbow")
-    if fused_mode and (cfg.rmw_scatter or cfg.scatter_impl == "span"):
+    if fused_mode and (cfg.rmw_scatter
+                       or cfg.scatter_impl in ("span", "grmw")):
         pad = (vpad, cpad)
     elif sharded is None and cfg.model == "cbow" and not fused_mode \
             and cfg.scatter_impl == "span":
@@ -272,17 +275,20 @@ def train(cfg: Word2BitsConfig,
 
     dtype = jnp.dtype(cfg.dtype)
     tables_gb = 2 * V * D * dtype.itemsize / 1e9
-    if S > 1 and not cfg.mesh_shape and tables_gb * 2 > 12.0:
+    if (S > 1 and cfg.loop_mode == "scan" and not cfg.mesh_shape
+            and tables_gb * 2 > 12.0):
         # lax.scan double-buffers the carried tables (peak ~= 2x tables +
         # temps; the measured single-chip OOM wall is ~8 GB of tables on a
-        # 16 GB v5e — ARCHITECTURE.md capacity table).  The per-step donated
-        # path keeps peak at 1x tables (tools/capacity_probe.py --analyze).
+        # 16 GB v5e — ARCHITECTURE.md capacity table).  fori keeps the
+        # while-loop carry in place, and the per-step donated path keeps
+        # peak at 1x tables (tools/capacity_probe.py --analyze).
         _log(cfg, f"WARNING: tables are {tables_gb:.1f} GB; the scan path "
                   f"(steps_per_chunk={S}) double-buffers them and will "
-                  "likely OOM one chip.  Use -steps-per-chunk 1 "
-                  "-rmw-scatter 1 (in-place per-step path; XLA's scatter "
-                  "copies the table even donated — ARCHITECTURE.md), "
-                  "-dtype bfloat16, or -mesh-shape to vocab-shard.")
+                  "likely OOM one chip.  Use -loop-mode fori "
+                  "-scatter-impl grmw (in-place while-loop carry + in-place "
+                  "scatter; XLA's scatter copies the table even donated — "
+                  "ARCHITECTURE.md), -dtype bfloat16, or -mesh-shape to "
+                  "vocab-shard.")
     # host-side params: build_engine decides the device layout (the fused
     # rmw path assembles a padded table host-side to keep the chip at 1x
     # table peak; eager device halves would force an OOMing round-trip)
