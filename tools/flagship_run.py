@@ -1,14 +1,17 @@
 """End-to-end FLAGSHIP run: 3.7M-vocab x 800d 1-bit training on one v5e.
 
 The reference's headline artifact is the full-Wikipedia 3.7M-vocab 1-bit
-800d vector set (reference README.md:39, 812 MB packed).  Round 2 proved
-the config *fits and steps* on one chip (tools/capacity_probe.py --rmw,
-28.2 ms/step); this tool executes the whole production path end-to-end
-(VERDICT r2 item 3 / ROADMAP 4d): corpus -> C++ vocab build -> bit-exact
-LCG init -> multi-epoch streamed training (bf16 fused tables, Pallas
-group-RMW scatter, no-scan donated steps, device-built epochs) ->
+800d vector set (reference README.md:39, 812 MB packed).  This tool
+executes the whole production path end-to-end (VERDICT r2 item 3 /
+ROADMAP 4d; round-5: multi-segment epochs + the fast capacity config +
+the reference-evaluator cross-check, VERDICT r4 items 1/4/5): corpus ->
+C++ vocab build -> bit-exact LCG init -> multi-epoch MULTI-SEGMENT
+streamed training (bf16 fused tables, sorted group-RMW scatter in
+in-place fori chunks — 2.66M words/sec at the flagship shape,
+tools/capacity_ablate.py; --rmw selects the round-4 no-scan path) ->
 full-state checkpoint -> resume for one more epoch -> reference-format
-binary + packed export -> analogy evaluation at 3.7M rows.
+binary + packed export -> analogy evaluation at 3.7M rows -> truncated
+cross-check against the compiled reference compute-accuracy binary.
 
 Corpus: the structured-analogy generator (data/structured.py) supplies a
 learnable core whose analogy accuracy is measurable by construction, and a
@@ -109,19 +112,32 @@ def main():
 
     out = os.path.join(RUN, "vectors.bin")
     ckpt = os.path.join(RUN, "ckpt")
+    # round-5 capacity config: sorted group-RMW scatter in in-place fori
+    # chunks + banded windowed sums — 6.16 ms/step / 2.66M words/sec at
+    # this shape (tools/capacity_ablate.py grmw_fori32_banded, v5e
+    # 2026-08-20) vs the round-4 rmw/no-scan path's 28.2 ms.  --rmw runs
+    # the old path for comparison.
+    seg_tokens = _arg("--segment", 1 << 24, int)  # 16M => 4 segments at 60M
+    if "--rmw" in sys.argv:
+        speed = dict(rmw_scatter=True, steps_per_chunk=1)
+    else:
+        speed = dict(scatter_impl="grmw", loop_mode="fori",
+                     steps_per_chunk=32, banded_tile=256)
     common = dict(
         train_file=corpus, output_file=out, binary=True, packed=True,
         bitlevel=1, size=_arg("--size", 800, int), window=5, negative=10,
         min_count=1, sample=1e-4, alpha=0.05,
         batch_size=_arg("--batch", 16384, int), neg_sharing=64,
-        fused_tables=True, dtype="bfloat16", rmw_scatter=True,
-        steps_per_chunk=1, segment_tokens=_arg("--segment", 1 << 25, int),
+        fused_tables=True, dtype="bfloat16", **speed,
+        segment_tokens=seg_tokens,
         checkpoint_dir=ckpt, debug=2, seed=1,
         # every checkpoint at this scale is a ~12 GB blocked tunnel fetch;
         # one per leg (after the leg's final epoch) is the resume evidence
         checkpoint_every_epoch=False,
         device_epoch=(False if "--host-epoch" in sys.argv else None),
     )
+    transcript["config"]["segments_per_epoch"] = -(-n_tokens // seg_tokens)
+    transcript["config"]["speed_flags"] = speed
 
     t0 = time.perf_counter()
     # leg 1 trains + checkpoints but skips the vector export (the resume
@@ -168,6 +184,43 @@ def main():
             total_accuracy=round(res_e.total_accuracy, 2),
             coverage=round(res_e.coverage, 2))
         print(json.dumps(transcript["eval"]), flush=True)
+        del words, vectors
+
+    if "--skip-crosscheck" not in sys.argv and "--skip-eval" not in sys.argv:
+        # cross-check the ACTUAL flagship artifact against the compiled
+        # reference evaluator at a vocab truncation it can afford
+        # (reference src/compute-accuracy.c:86 `threshold` — VERDICT r4
+        # item 5): both evaluators read the same vectors.bin truncated to
+        # the top `threshold` count-sorted rows; accuracies must agree.
+        import subprocess
+        threshold = _arg("--threshold", 50_000, int)
+        exe = os.path.join(RUN, "ref-accuracy")
+        if not os.path.exists(exe):
+            subprocess.run(["gcc", "/root/reference/src/compute-accuracy.c",
+                            "-o", exe, "-lm", "-O2"], check=True)
+        t0 = time.perf_counter()
+        ref_out = subprocess.run(
+            [exe, out, "0", str(threshold)], stdin=open(questions),
+            capture_output=True, text=True, timeout=7200).stdout
+        ref_line = [ln for ln in ref_out.splitlines()
+                    if ln.startswith("Questions seen")][-1]
+        ref_total = [ln for ln in ref_out.splitlines()
+                     if "Total accuracy" in ln][-1]
+        from word2bits_tpu.io.vectors import read_vectors as _rv
+        words_t, vecs_t = _rv(out, max_words=threshold)
+        res_t = evaluate_analogies(words_t, vecs_t,
+                                   load_questions(questions), bitlevel=0)
+        ref_pct = float(ref_total.split("Total accuracy:")[1]
+                        .split("%")[0])
+        transcript["crosscheck"] = dict(
+            threshold=threshold,
+            ref_total_line=ref_total.strip(),
+            ref_seen_line=ref_line.strip(),
+            ours_total_accuracy=round(res_t.total_accuracy, 2),
+            ours_coverage=round(res_t.coverage, 2),
+            agree_within_pt=round(abs(ref_pct - res_t.total_accuracy), 2),
+            wall_s=round(time.perf_counter() - t0, 1))
+        print(json.dumps(transcript["crosscheck"]), flush=True)
 
     from flagship_transcript import write_transcript
     md = write_transcript(transcript, n_tokens, n_vocab,

@@ -15,10 +15,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLAGSHIP_VOCAB = 3_000_000
 FLAGSHIP_TOKENS = 50_000_000
 
-_BODY = ("streamed multi-epoch training with bf16 fused tables + Pallas "
-         "group-RMW scatter (no-scan donated steps), full-state checkpoint "
+_BODY = ("streamed multi-segment multi-epoch training with bf16 fused "
+         "tables + the sorted group-RMW scatter in in-place fori chunks "
+         "(-scatter-impl grmw -loop-mode fori), full-state checkpoint "
          "+ resume, reference-format binary + packed export, full-vocab "
-         "analogy evaluation.")
+         "analogy evaluation, and a truncated-vocab cross-check against "
+         "the compiled reference compute-accuracy binary.")
 
 
 def write_transcript(transcript: dict, n_tokens: int, n_vocab: int,
@@ -31,7 +33,7 @@ def write_transcript(transcript: dict, n_tokens: int, n_vocab: int,
     (e.g. crash/completion history)."""
     at_flagship = n_vocab >= FLAGSHIP_VOCAB and n_tokens >= FLAGSHIP_TOKENS
     if at_flagship:
-        md = os.path.join(REPO, "docs", "flagship_r4_transcript.md")
+        md = os.path.join(REPO, "docs", "flagship_r5_transcript.md")
         title = (f"# Flagship end-to-end run ({n_vocab / 1e6:.1f}M x {size}d,"
                  " 1-bit, one v5e)\n\n"
                  "The full production path at the reference's headline scale "
