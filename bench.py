@@ -117,6 +117,12 @@ VARIANTS = [
     # (14.16M) — dropped from the set rather than left as dead config
     # (they also inflated S_max and thus every child's epoch capacity)
     dict(name="span_S128", steps_per_chunk=128, scatter_impl="span"),
+    # grmw: the round-5 sorted group-RMW kernel (kernels/group_rmw.py) —
+    # update-equal modulo float order like span; at dup-heavy zipf ids the
+    # sorted stream dedups to few 16-row groups, so visit traffic can
+    # undercut span's touched-window sweep at this shape
+    dict(name="grmw_banded256_S256", banded=256, steps_per_chunk=256,
+         scatter_impl="grmw"),
     # previous round's winner as the fallback; the set is kept SMALL —
     # r3 bench-child runs showed the remote backend can wedge
     # (InvalidArgument on every later variant) after many big compiled
@@ -221,8 +227,8 @@ def _read_partial():
 # all bounded by TOTAL_BUDGET.
 VARIANT_SETS = [
     "span_banded256_S256",
-    "base,span_banded256_S128",
-    "span_banded256_S128_w256,span_S128",
+    "grmw_banded256_S256,base",
+    "span_banded256_S128,span_banded256_S128_w256",
     "banded256_S256",
 ]
 
@@ -417,6 +423,12 @@ def main():
             swn = int(cfg.get("span_window", 512))
             Vp = -(-V // swn) * swn
             scatters = 2 * Vp * row + 3 * (slab + tk) * row
+        elif cfg.get("scatter_impl") == "grmw":
+            # sorted group-RMW: visits <= update rows and each moves a
+            # sublane group each way, but sorted dedup collapses the zipf
+            # head — per-row accounting (like "add") plus the sorted-row
+            # stream keeps the model an UNDERestimate as documented
+            scatters = 2 * (slab + tk) * row + 3 * (slab + tk) * row
         else:
             scatters = 2 * (slab + tk) * row      # RMW: read + write
         if cfg.get("hot_rows"):
@@ -461,9 +473,12 @@ def main():
         else:
             table = build_alias_table(weights)
         simpl = cfg.get("scatter_impl", "add")
-        col_pad = (-2 * cfg["size"]) % 128 if simpl in ("sweep", "span") \
-            else 0
+        col_pad = ((-2 * cfg["size"]) % 128
+                   if simpl in ("sweep", "span", "grmw") else 0)
         sw = int(cfg.get("span_window", 512))
+        if simpl == "grmw":  # row pad to the dtype's sublane group instead
+            from word2bits_tpu.kernels.scatter_pallas import group_rows
+            sw = group_rows(jnp.dtype(cfg["dtype"]))
         chunk_fn = make_fused_train_chunk(hyper, V, B, Sv,
                                           neg_sharing=cfg["neg_sharing"],
                                           neg_pool=int(
@@ -482,7 +497,7 @@ def main():
         u, v = init_params(V, cfg["size"], init="uniform", seed=0,
                            dtype=jnp.dtype(cfg["dtype"]))
         params = interleave(u, v)  # fused (V, 2D): one scatter for u+v_center
-        if simpl in ("sweep", "span"):
+        if simpl in ("sweep", "span", "grmw"):
             # swept kernels need window-aligned rows and 128-lane columns;
             # padding stays zero (zero rows never match a window id, zero
             # columns ride with zero gradients) and is excluded from timing

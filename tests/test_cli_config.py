@@ -151,3 +151,22 @@ def test_rmw_scan_warning_suppressed_by_fori():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         Word2BitsConfig(**kw, loop_mode="fori")
+
+
+def test_dense_hot_fine_grid_warns():
+    # measured -7pt regime (ACCEPTANCE.md): dense-hot at bitlevel >= 4
+    # must warn; tune never offers it there (VERDICT r4 item 7)
+    import warnings
+    kw = dict(neg_dense_hot=True, hot_rows=256, fused_tables=True,
+              neg_sharing=16, batch_size=128)
+    with pytest.warns(UserWarning, match="bitlevel"):
+        Word2BitsConfig(bitlevel=4, **kw)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        Word2BitsConfig(bitlevel=1, **kw)
+
+    from word2bits_tpu.tune import variants
+    names4 = [n for n, _, _ in variants(Word2BitsConfig(bitlevel=4), 70_000)]
+    names1 = [n for n, _, _ in variants(Word2BitsConfig(bitlevel=1), 70_000)]
+    assert "dense-hot" not in names4
+    assert "dense-hot" in names1

@@ -232,3 +232,49 @@ def test_slab_chunk_span_matches_base(rng, sharing, steps):
     for t in (u1, v1):  # padding must stay exactly zero
         assert float(jnp.max(jnp.abs(t[V:]))) == 0.0
         assert float(jnp.max(jnp.abs(t[:, D:]))) == 0.0
+
+
+@pytest.mark.parametrize("steps", [1, 2])
+def test_slab_chunk_span_rank1_matches_base(rng, steps):
+    """reg == 0 routes the per-center v-update through the RANK-1 span
+    apply (scatter_add_span_rank1: rows formed from [B,K] coefficients x
+    cavg inside the permute, no [B,K,D] dv tensor) — must equal the base
+    chunk exactly like the materialized path (VERDICT r4 item 2)."""
+    from word2bits_tpu.models.cbow import CBOWHyper, ChunkScalars
+    from word2bits_tpu.models.cbow_slab import make_slab_train_chunk
+    from word2bits_tpu.sampling.unigram import build_alias_table
+
+    V, D, B, W = 300, 16, 64, 3
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=5, reg=0.0)
+    n = 4 * B + 2 * W + 16
+    tokens = jnp.asarray(rng.integers(0, V, size=n).astype(np.int32))
+    sents = jnp.asarray((np.arange(n) // 97).astype(np.int32))
+    atab = build_alias_table(np.ones(V))
+    u = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    scalars = ChunkScalars(base0=jnp.int32(W), alpha0=jnp.float32(0.05),
+                           wca_start=jnp.float32(0.0),
+                           wca_per_step=jnp.float32(B),
+                           denom=jnp.float32(1e6))
+    key = jax.random.PRNGKey(1)
+
+    base = make_slab_train_chunk(hyper, V, B, steps, neg_sharing=0,
+                                 donate=False)
+    u0, v0, l0 = base(u, v, tokens, sents, atab.prob, atab.alias,
+                      scalars, key)
+    sw = 64
+    cp, vp = (-D) % 128, (-V) % sw
+    span = make_slab_train_chunk(hyper, V, B, steps, neg_sharing=0,
+                                 donate=False, scatter_impl="span",
+                                 span_window=sw, span_chunk=32)
+    u1, v1, l1 = span(jnp.pad(u, ((0, vp), (0, cp))),
+                      jnp.pad(v, ((0, vp), (0, cp))),
+                      tokens, sents, atab.prob, atab.alias, scalars, key)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(u1[:V, :D]), np.asarray(u0),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1[:V, :D]), np.asarray(v0),
+                               atol=1e-4, rtol=1e-4)
+    for t in (u1, v1):
+        assert float(jnp.max(jnp.abs(t[V:]))) == 0.0
+        assert float(jnp.max(jnp.abs(t[:, D:]))) == 0.0

@@ -111,6 +111,15 @@ def main():
             yield (f"fused-poolG-span-S{Sv}", B,
                    dict(neg_sharing=G, neg_pool=G, scatter_impl="span"),
                    "fused", Sv)
+        # sorted group-RMW scatter at the bench shape (round 5,
+        # kernels/group_rmw.py): dup-heavy zipf ids dedup to few 16-row
+        # groups, so the visit traffic can undercut span's window sweep
+        for Sv in (128, 256):
+            yield (f"fused-grmw-S{Sv}", B,
+                   dict(neg_sharing=G, scatter_impl="grmw"), "fused", Sv)
+        yield ("p2-grmw-banded256-S256", B,
+               dict(neg_sharing=G, neg_pool=2, scatter_impl="grmw",
+                    banded=256), "fused", 256)
         # banded windowed sums: context + u sums as banded MXU matmuls
         # (ops/windowed.py) vs the 2W-shift VPU formulation
         for bt in (128, 256):
@@ -148,6 +157,16 @@ def main():
                dict(neg_sharing=0, scatter_impl="span", banded=256),
                "slab", 64)
         yield ("percenter8192-S64", 8192, dict(neg_sharing=0), "slab", 64)
+        # round-5 rank-1 span apply (VERDICT r4 item 2): with reg == 0 the
+        # per-center spanning path forms dv_neg rows inside the permute
+        # (scatter_add_span_rank1) — the percenter*-span variants above
+        # now measure it automatically; these extend the B/S grid
+        for Sv in (128, 256):
+            yield (f"percenter4096-span-S{Sv}", 4096,
+                   dict(neg_sharing=0, scatter_impl="span"), "slab", Sv)
+        yield ("percenter4096-span-S128-banded256", 4096,
+               dict(neg_sharing=0, scatter_impl="span", banded=256),
+               "slab", 128)
 
     results = {}
     for item in variants():
@@ -186,11 +205,15 @@ def main():
             # columns (zero padding never matches a window id / rides
             # with zero gradients) — same machinery as bench.run_variant
             simpl = kw.get("scatter_impl", "add")
-            swept = simpl in ("sweep", "span")
+            swept = simpl in ("sweep", "span", "grmw")
             # row-pad modulus must match the kernel's sweep window (a
             # non-default span_window otherwise pads to the wrong multiple
-            # and fails at plan time — advisor r3)
+            # and fails at plan time — advisor r3); grmw pads to the
+            # dtype's sublane group instead
             swn = int(kw.get("span_window", 512))
+            if simpl == "grmw":
+                from word2bits_tpu.kernels.scatter_pallas import group_rows
+                swn = group_rows(dtype)
             if fam == "fused":
                 if swept:
                     kw["col_pad"] = (-2 * CFG["size"]) % 128

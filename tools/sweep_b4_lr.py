@@ -7,8 +7,10 @@ can be extended with data rather than guessed.  Reference quantization branch
 under test: round |x| to nearest 1/2^(bitlevel-1), clip to 1
 (/root/reference/src/word2bits.cpp:100-105).
 
-Usage: python tools/sweep_b4_lr.py [--bitlevel N] [factor[:batch] ...]
-(bitlevel defaults to 4; batch defaults to the parity harness's 512)
+Usage: python tools/sweep_b4_lr.py [--bitlevel N] [--seeds N]
+                                   [factor[:batch] ...]
+(bitlevel defaults to 4; batch defaults to the parity harness's 512.
+Round 5: the bitlevel-8 B/LR sweep at 5 seeds — VERDICT r4 item 7.)
 """
 
 import json
@@ -33,6 +35,11 @@ def main():
         i = args.index("--bitlevel")
         bitlevel = int(args[i + 1])
         args = args[:i] + args[i + 2:]
+    seeds = 3
+    if "--seeds" in args:
+        i = args.index("--seeds")
+        seeds = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
     specs = []
     for a in args or ["1.5", "2.0", "3.0"]:
         fac, _, batch = a.partition(":")
@@ -40,7 +47,7 @@ def main():
     corpus, questions = ensure_corpus(fast=False)
     for fac, batch in specs:
         accs = []
-        for s in range(3):
+        for s in range(seeds):
             out = f"/tmp/sweep_b{bitlevel}_{fac}_{batch}_{s}.bin"
             cfg = Word2BitsConfig(
                 train_file=corpus, output_file=out, binary=True,
@@ -53,8 +60,11 @@ def main():
             train(cfg)
             acc, _ = evaluate(out, questions)
             accs.append(acc)
-        print(json.dumps(dict(bitlevel=bitlevel, factor=fac, batch=batch, accs=accs,
-                              mean=sum(accs) / len(accs))), flush=True)
+        import statistics
+        print(json.dumps(dict(bitlevel=bitlevel, factor=fac, batch=batch,
+                              accs=accs, mean=round(sum(accs) / len(accs), 2),
+                              std=round(statistics.stdev(accs), 2)
+                              if len(accs) > 1 else 0.0)), flush=True)
 
 
 if __name__ == "__main__":

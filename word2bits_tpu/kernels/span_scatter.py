@@ -265,6 +265,46 @@ def scatter_add_span_planned(table, plan: SpanPlan, rows,
                       plan.edges, window, chunk, interpret)
 
 
+def scatter_add_span_rank1(table, plan: SpanPlan, dense_rows, g, cavg,
+                           per_src: int, window: int = 512,
+                           chunk: int = 128,
+                           interpret: bool | None = None):
+    """Span scatter whose trailing rows are RANK-1: row nd+j is
+    g[j] * cavg[j // per_src] (the per-center CBOW negative update with
+    reg == 0, reference src/word2bits.cpp:486-491).  The [N_neg, D]
+    gradient block is never materialized in XLA — the permuted row stream
+    is built directly from the [N_neg] coefficients and the [B, C] context
+    averages, which removes the [B, K, D] dv tensor that bounds the exact
+    per-center mode's throughput (VERDICT r4 item 2 / ROADMAP 4b).
+
+    dense_rows [nd, C]: materialized leading rows (e.g. the B center-v
+    updates); g [nn]: per-negative coefficients; cavg [B, C] with
+    per_src = negatives per center (nn == B * per_src).  plan must be the
+    span_plan of the concatenated ids [dense_ids; neg_ids]."""
+    nd, C = dense_rows.shape
+    (nn,) = g.shape
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    o = plan.order                                        # [nb*chunk]
+    is_dense = o < nd
+    # order == nd+nn is the pad sentinel (zero row): route it through the
+    # rank-1 branch with g extended by a trailing zero coefficient
+    g_ext = jnp.concatenate([g.astype(jnp.float32),
+                             jnp.zeros((1,), jnp.float32)])
+    on = jnp.clip(o - nd, 0, nn)
+    src = jnp.minimum(on // per_src, cavg.shape[0] - 1)
+    neg_rows = g_ext[on][:, None] * cavg[src].astype(jnp.float32)
+    od = jnp.where(is_dense, o, 0)
+    prows = jnp.where(is_dense[:, None],
+                      dense_rows[od].astype(jnp.float32),
+                      neg_rows).astype(table.dtype)       # [nb*chunk, C]
+    nb = plan.sids.shape[0] // chunk
+    sids_blk = jnp.broadcast_to(
+        plan.sids.reshape(nb, 1, chunk), (nb, 8, chunk))
+    return _span_call(table, prows, sids_blk, plan.wfirst, plan.wlast,
+                      plan.edges, window, chunk, interpret)
+
+
 def scatter_add_span(table, ids, rows, window: int = 512, chunk: int = 128,
                      interpret: bool | None = None):
     """table.at[ids].add(rows) via the spanning sweep kernel.

@@ -311,14 +311,36 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
         loss = loss + jnp.sum((jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq) * m2)
         cavge = cavge + jnp.einsum("bk,bkd->bd", g_neg, q_vn)
-        dv_neg = g_neg[..., None] * cavg[:, None, :] - two_ar * v_n * m2[..., None]
         ids_v = jnp.concatenate([centers, negs.reshape(-1)])
-        rows_v = jnp.concatenate([dv_center, dv_neg.reshape(-1, D)])
-        if spanning:
-            v = scat_span(v, ids_v, rows_v,
-                          None if span_plans is None else span_plans[1])
+        if spanning and reg == 0.0:
+            # rank-1 negative rows (VERDICT r4 item 2 / ROADMAP 4b): with
+            # reg == 0, dv_neg[b, k] = g_neg[b, k] * cavg[b] exactly — the
+            # permuted row stream is formed inside the span apply from the
+            # [B, K] coefficients and the [B, D] context averages, and the
+            # [B, K, D] dv tensor (the exact mode's measured throughput
+            # bound) is never materialized
+            from word2bits_tpu.kernels.span_scatter import (
+                scatter_add_span_rank1)
+            from word2bits_tpu.kernels.span_scatter import \
+                span_plan as _span_plan
+            cp = v.shape[1] - D
+            dvc = jnp.pad(dv_center, ((0, 0), (0, cp))) if cp else dv_center
+            cav = jnp.pad(cavg, ((0, 0), (0, cp))) if cp else cavg
+            plan = (span_plans[1] if span_plans is not None else
+                    _span_plan(ids_v, v.shape[0], window=span_window,
+                               chunk=span_chunk))
+            v = scatter_add_span_rank1(v, plan, dvc, g_neg.reshape(-1),
+                                       cav, K, window=span_window,
+                                       chunk=span_chunk)
         else:
-            v = scat(v, ids_v, rows_v)
+            dv_neg = (g_neg[..., None] * cavg[:, None, :]
+                      - two_ar * v_n * m2[..., None])
+            rows_v = jnp.concatenate([dv_center, dv_neg.reshape(-1, D)])
+            if spanning:
+                v = scat_span(v, ids_v, rows_v,
+                              None if span_plans is None else span_plans[1])
+            else:
+                v = scat(v, ids_v, rows_v)
 
     # --- u updates grouped by slab position (one scatter of B+2W rows).
     if banded:

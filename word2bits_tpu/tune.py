@@ -88,11 +88,19 @@ def variants(cfg: Word2BitsConfig, V: int) -> List[Tuple[str, Dict, str]]:
     if hot > 0:
         out.append(("hot-rows", dict(fused, hot_rows=hot),
                     "same updates, scatter restructured"))
-        out.append(("dense-hot", dict(fused, hot_rows=hot,
-                                      neg_dense_hot=True),
-                    "estimator change: quality is shape-dependent "
-                    "(above sampled at reference-default shapes, below at "
-                    "B=8192 text8-scale — verify on your corpus)"))
+        if cfg.bitlevel >= 4:
+            # measured quality cliff at fine grids: dense-hot at bitlevel 4
+            # sits 7+ points below per-center (48.5±0.9 vs 56.0±1.4,
+            # ACCEPTANCE.md) — don't offer it as a tuning candidate there
+            # (VERDICT r4 item 7); users can still pass -neg-dense-hot
+            # explicitly, and config warns
+            pass
+        else:
+            out.append(("dense-hot", dict(fused, hot_rows=hot,
+                                          neg_dense_hot=True),
+                        "estimator change: quality is shape-dependent "
+                        "(above sampled at reference-default shapes, below "
+                        "at B=8192 text8-scale — verify on your corpus)"))
     bt = next((t for t in (256, 128) if B % t == 0), 0)
     if bt:
         out.append(("banded", dict(fused, banded_tile=bt),
