@@ -92,3 +92,29 @@ def test_cli_mesh_train_end_to_end(tmp_path, capsys):
     assert len(ws) == 61  # </s> + 60 words
     # bitlevel-1 rows quantize to +-1/3
     np.testing.assert_allclose(np.unique(np.abs(vecs)), 1.0 / 3, rtol=1e-6)
+
+
+def test_sharded_bench_winner_composed_end_to_end(tmp_path):
+    """The SHIPPED bench winner's flag set driven through the ShardedTrainer
+    (VERDICT r4 item 6): -neg-pool 2 -banded-tile 256 -scatter-impl span
+    composed on the (data x vocab) mesh via the CLI-visible config."""
+    corpus = str(tmp_path / "c.txt")
+    _make_corpus(corpus, n_sentences=150)
+    out = str(tmp_path / "v.bin")
+    cfg = Word2BitsConfig(
+        train_file=corpus, output_file=out, binary=True, bitlevel=1,
+        size=16, window=2, negative=4, iter=2, min_count=1,
+        batch_size=32, steps_per_chunk=4, neg_sharing=8, neg_pool=2,
+        banded_tile=8, scatter_impl="span", span_window=16, span_chunk=32,
+        alpha=0.10, debug=0, mesh_shape={"data": 2, "vocab": 4})
+    result = train(cfg)
+    assert len(result.epoch_losses) == 2
+    assert all(np.isfinite(l) for l in result.epoch_losses)
+    assert result.epoch_losses[-1] > result.epoch_losses[0]
+    assert result.u.shape[0] == result.vocab.size  # padding trimmed
+
+    from word2bits_tpu.io.vectors import read_vectors
+    words, vecs = read_vectors(out)
+    assert words == result.vocab.words
+    third = np.float32(1.0) / np.float32(3.0)
+    assert set(np.unique(vecs)) <= {third, -third}

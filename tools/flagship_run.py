@@ -149,6 +149,7 @@ def main():
     transcript["train"] = dict(
         epochs=2, wall_s=round(t_train, 1),
         words_per_sec=round(res.words_per_sec),
+        table_fetch_s=res.fetch_s,
         epoch_losses=[round(l, 1) for l in res.epoch_losses],
         steps=res.steps, vocab_size=res.vocab.size)
     print(json.dumps(transcript["train"]), flush=True)
@@ -162,6 +163,7 @@ def main():
     transcript["resume"] = dict(
         extra_epochs=1, wall_s=round(time.perf_counter() - t0, 1),
         words_per_sec=round(res3.words_per_sec),
+        table_fetch_s=res3.fetch_s,
         epoch_losses=[round(l, 1) for l in res3.epoch_losses])
     print(json.dumps(transcript["resume"]), flush=True)
 

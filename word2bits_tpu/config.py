@@ -235,6 +235,11 @@ class Word2BitsConfig:
     # LR-robust (38.3 @ 1x vs 37.3 @ 2x, defaults already ahead of the
     # reference); bitlevel 0 DIVERGES above 1x (nothing clamps fp32
     # magnitudes); and the factor is batch-size-insensitive over B=64..512.
+    # At bitlevel 8 (round-5 sweep, tools/sweep_b4_lr.py --bitlevel 8
+    # --seeds 5): 1.2x clears the reference mean (57.8±1.5 vs ref
+    # 56.4±0.6) where 1.0x sat within-spread-below (55.5±1.5) and 0.8x
+    # regressed (52.4) — the finest grid still clamps like bitlevel 2,
+    # just with a smaller optimal factor; batch (128/192/256) is no lever.
     # auto_lr=True applies the measured factor so reference-default flags
     # reach reference-parity accuracy; `-auto-lr 0` uses `alpha` verbatim.
     auto_lr: bool = True
@@ -498,7 +503,11 @@ class Word2BitsConfig:
         reference's per-example Hogwild LR (see auto_lr field docs)."""
         if not self.auto_lr:
             return 1.0
-        return 3.0 if self.bitlevel == 2 else 1.0
+        if self.bitlevel == 2:
+            return 3.0
+        if self.bitlevel >= 8:
+            return 1.2   # round-5 sweep: 57.8±1.5 vs ref 56.4±0.6
+        return 1.0
 
     @property
     def effective_alpha(self) -> float:

@@ -44,8 +44,14 @@ class TrainResult:
     u: np.ndarray
     v: np.ndarray
     epoch_losses: List[float]
-    words_per_sec: float  # training words consumed per wall-second
+    words_per_sec: float  # training words consumed per wall-second of the
+    #                       train loop (device fetches excluded; see fetch_s)
     steps: int
+    # wall seconds spent fetching tables device->host (checkpoints + the
+    # final export source) — at flagship scale one fetch is ~12 GB through
+    # the blocked tunnel path, which round 4's accounting folded into
+    # words_per_sec and understated the training rate ~25x
+    fetch_s: float = 0.0
 
 
 def _log(cfg: Word2BitsConfig, msg: str, end="\n"):
@@ -398,6 +404,7 @@ def train(cfg: Word2BitsConfig,
             _log(cfg, f"WARNING: profiler unavailable ({e})")
 
     t_train0 = time.perf_counter()
+    fetch_s = 0.0
     words_at_start = words_done  # resumed runs report THIS run's rate only
     stop = False
 
@@ -451,7 +458,13 @@ def train(cfg: Word2BitsConfig,
                     yield (jnp.asarray(ea.tokens), jnp.asarray(ea.sent_ids),
                            ea.n_tokens, ea.source_len)
 
+        t_seg = time.perf_counter()
         for tokens_dev, sents_dev, seg_n_tokens, source_len in _segments():
+            if cfg.debug > 2:
+                # -debug 3: per-segment wall split (epoch build vs chunk
+                # dispatch loop) — the round-5 flagship rate investigation
+                _log(cfg, f"[seg] build {time.perf_counter() - t_seg:.2f}s "
+                          f"kept={seg_n_tokens}")
             n_centers = max(seg_n_tokens, 1)
             # this segment accounts for its share of the epoch's train_words
             seg_words = train_words * source_len / total_len
@@ -500,6 +513,11 @@ def train(cfg: Word2BitsConfig,
                 if max_steps is not None and total_steps >= max_steps:
                     stop = True
                     break
+            if cfg.debug > 2:
+                epoch_loss = float(loss_acc)  # sync: attribute time honestly
+                _log(cfg, f"[seg] chunks {n_chunks} "
+                          f"({time.perf_counter() - t_seg:.2f}s total)")
+            t_seg = time.perf_counter()
             if stop:
                 break
         # exact end-of-epoch word count (the reference's wca reaches
@@ -521,7 +539,9 @@ def train(cfg: Word2BitsConfig,
                                     or on_epoch_end or last):
             u, v = sharded.params()
         if cfg.save_every_epoch or want_ckpt or on_epoch_end or last:
+            t_f = time.perf_counter()
             uu, vv = _uv(u, v)
+            fetch_s += time.perf_counter() - t_f
             if last:
                 # reuse for the final export below — at flagship scale a
                 # second _uv is a second multi-GB device fetch
@@ -554,8 +574,10 @@ def train(cfg: Word2BitsConfig,
     else:
         if sharded is not None and u is None:
             u, v = sharded.params()
+        t_f = time.perf_counter()
         u, v = _uv(u, v)
-    wall = time.perf_counter() - t_train0
+        fetch_s += time.perf_counter() - t_f
+    wall = time.perf_counter() - t_train0 - fetch_s
     wps = (words_done - words_at_start) / max(wall, 1e-9)
 
     if cfg.output_file:
@@ -570,7 +592,7 @@ def train(cfg: Word2BitsConfig,
 
     return TrainResult(vocab=vocab, u=np.asarray(u), v=np.asarray(v),
                        epoch_losses=epoch_losses, words_per_sec=wps,
-                       steps=total_steps)
+                       steps=total_steps, fetch_s=round(fetch_s, 1))
 
 
 def _write_output(path: str, vocab: Vocab, u, v, cfg: Word2BitsConfig):
