@@ -67,7 +67,11 @@ def main():
     atab = build_alias_table(counts ** 0.75)
     hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=K, reg=0.0)
 
+    ntok_min = argval("--ntok", 0)   # replicate the trainer's full-segment
+    #                                  token arrays (flagship: ~17.4M)
+
     def make_tokens(n):
+        n = max(n, ntok_min)
         ids = np.minimum(rng.zipf(1.3, size=n) - 1, V - 1).astype(np.int32)
         return (jnp.asarray(ids),
                 jnp.asarray((np.arange(n) // 1000).astype(np.int32)))
