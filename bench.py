@@ -118,9 +118,11 @@ VARIANTS = [
     # (they also inflated S_max and thus every child's epoch capacity)
     dict(name="span_S128", steps_per_chunk=128, scatter_impl="span"),
     # grmw: the round-5 sorted group-RMW kernel (kernels/group_rmw.py) —
-    # update-equal modulo float order like span; at dup-heavy zipf ids the
-    # sorted stream dedups to few 16-row groups, so visit traffic can
-    # undercut span's touched-window sweep at this shape
+    # update-equal like span, and the 3.7M x 800d capacity winner (2.66M
+    # words/sec, docs/large_vocab.md) — but at THIS dense 70k-vocab shape
+    # it measured 1456 us/step vs span's 778 (step_bench, 2026-08-20: the
+    # group visits move 16 rows per touched group where span's open-window
+    # accumulation amortizes), so it stays out of the scheduled sets
     dict(name="grmw_banded256_S256", banded=256, steps_per_chunk=256,
          scatter_impl="grmw"),
     # previous round's winner as the fallback; the set is kept SMALL —
@@ -227,8 +229,8 @@ def _read_partial():
 # all bounded by TOTAL_BUDGET.
 VARIANT_SETS = [
     "span_banded256_S256",
-    "grmw_banded256_S256,base",
-    "span_banded256_S128,span_banded256_S128_w256",
+    "base,span_banded256_S128",
+    "span_banded256_S128_w256,span_S128",
     "banded256_S256",
 ]
 

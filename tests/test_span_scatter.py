@@ -266,7 +266,8 @@ def test_slab_chunk_span_rank1_matches_base(rng, steps):
     cp, vp = (-D) % 128, (-V) % sw
     span = make_slab_train_chunk(hyper, V, B, steps, neg_sharing=0,
                                  donate=False, scatter_impl="span",
-                                 span_window=sw, span_chunk=32)
+                                 span_window=sw, span_chunk=32,
+                                 span_rank1=True)
     u1, v1, l1 = span(jnp.pad(u, ((0, vp), (0, cp))),
                       jnp.pad(v, ((0, vp), (0, cp))),
                       tokens, sents, atab.prob, atab.alias, scalars, key)

@@ -59,7 +59,8 @@ def main():
     G = argval("--g", CFG["neg_sharing"])
     P = argval("--pool", CFG["neg_pool"])
     S = argval("--s", 256)
-    W, K, D = CFG["window"], CFG["negative"], CFG["size"]
+    W, K = CFG["window"], CFG["negative"]
+    D = argval("--d", CFG["size"])   # --d 256: the lane-alignment probe
     banded = argval("--banded", 256)
     dtype = jnp.dtype(CFG["dtype"])
     encoded, counts, train_words = bench._prepare()
@@ -104,11 +105,10 @@ def main():
                 q_slab = quantize(u_slab, CFG["bitlevel"])
                 if stage == "gather":
                     return (table, acc + jnp.sum(q_slab) + jnp.sum(v_c)), None
-                q_sq = jnp.sum(q_slab * q_slab, axis=-1)
                 btile = pick_tile(B, W, banded)
                 Mb, win_idx, valid = build_banded_masks(
                     inputs.slab_sents, inputs.shrink, B, W, btile)
-                csum, sq_sum, cw = banded_context(q_slab, q_sq, Mb,
+                csum, sq_sum, cw = banded_context(q_slab, None, Mb,
                                                   win_idx, B)
                 active = valid & (cw > 0)
                 af = active.astype(dt)

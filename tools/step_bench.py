@@ -120,6 +120,25 @@ def main():
         yield ("p2-grmw-banded256-S256", B,
                dict(neg_sharing=G, neg_pool=2, scatter_impl="grmw",
                     banded=256), "fused", 256)
+        # score_pallas composed with the round-4/5 winners: the fused
+        # negative-phase kernel lost 4% against the S=16 un-banded baseline
+        # (r2); with span+banded the phase is a bigger share — re-adjudicate
+        yield ("p2-pallas-span-banded256-S256", B,
+               dict(neg_sharing=G, neg_pool=2, use_pallas=True,
+                    scatter_impl="span", banded=256), "fused", 256)
+        yield ("p2-span-banded256-S256", B,
+               dict(neg_sharing=G, neg_pool=2, scatter_impl="span",
+                    banded=256), "fused", 256)
+        # same SHARING DEGREE (G/P = 32 centers per negative set — the
+        # quality-relevant quantity behind the shipped pool2@G=64 row) at
+        # MXU-filling tile sizes: G=128/P=4 and G=256/P=8 double/quadruple
+        # the scoring matmuls' M dim (64 rows underfill the 128-row MXU)
+        yield ("p4-G128-span-banded256-S256", B,
+               dict(neg_sharing=128, neg_pool=4, scatter_impl="span",
+                    banded=256), "fused", 256)
+        yield ("p8-G256-span-banded256-S256", B,
+               dict(neg_sharing=256, neg_pool=8, scatter_impl="span",
+                    banded=256), "fused", 256)
         # banded windowed sums: context + u sums as banded MXU matmuls
         # (ops/windowed.py) vs the 2W-shift VPU formulation
         for bt in (128, 256):
@@ -167,6 +186,13 @@ def main():
         yield ("percenter4096-span-S128-banded256", 4096,
                dict(neg_sharing=0, scatter_impl="span", banded=256),
                "slab", 128)
+        # A/B: the rank-1 span apply (measured NEGATIVE 2026-08-20:
+        # 4704 us vs 3428 materialized; span_scatter.scatter_add_span_rank1
+        # docstring) — default is now the materialized path
+        for Sv in (64, 128):
+            yield (f"percenter4096-spanr1-S{Sv}", 4096,
+                   dict(neg_sharing=0, scatter_impl="span",
+                        span_rank1=True), "slab", Sv)
 
     results = {}
     for item in variants():

@@ -274,8 +274,17 @@ def scatter_add_span_rank1(table, plan: SpanPlan, dense_rows, g, cavg,
     reg == 0, reference src/word2bits.cpp:486-491).  The [N_neg, D]
     gradient block is never materialized in XLA — the permuted row stream
     is built directly from the [N_neg] coefficients and the [B, C] context
-    averages, which removes the [B, K, D] dv tensor that bounds the exact
-    per-center mode's throughput (VERDICT r4 item 2 / ROADMAP 4b).
+    averages (VERDICT r4 item 2 / ROADMAP 4b).
+
+    MEASURED NEGATIVE (v5e, 2026-08-20, same-session A/B at the exact-mode
+    shape B=4096/K=24/D=200, tools/step_bench.py): rank-1 4704 us/step vs
+    the materialized dv path's 3428 us — XLA already fuses the rank-1
+    broadcast-multiply into the permute gather, and this formulation's
+    where-select + three gathers ADD passes instead of removing one.  Kept
+    as an off-by-default code path (span_rank1=False) with its equality
+    tests, per the documented-negative convention (cf.
+    kernels/sweep_scatter.py); the exact mode's residual cost is the
+    scoring-side [B, K, D] work, not dv formation.
 
     dense_rows [nd, C]: materialized leading rows (e.g. the B center-v
     updates); g [nn]: per-negative coefficients; cavg [B, C] with

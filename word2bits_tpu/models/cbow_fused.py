@@ -90,7 +90,12 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     v_c = slab_rows[W:W + B, D:2 * D]                      # centers' v rows
     q_slab = quantize(u_slab, bl)
 
-    q_sq = jnp.sum(q_slab * q_slab, axis=-1)
+    # reg == 0 (a Python float, static at trace time): the squared-norm
+    # loss terms are identically zero — skip computing them rather than
+    # trusting XLA to fold 0*x (it does not; the round-5 floor ablation
+    # showed the q_sq/||q_vn||^2 passes and the [B+2W, D+1] augmented
+    # concat as real scatter-free-floor weight)
+    q_sq = jnp.sum(q_slab * q_slab, axis=-1) if reg else None
     if banded:
         from word2bits_tpu.ops.windowed import (banded_context,
                                                 build_banded_masks, pick_tile)
@@ -102,23 +107,24 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         offsets, mask, valid = _context_masks(inputs, B, W)
         mf = mask.astype(dt)
         csum = jnp.zeros((B, D), dt)
-        sq_sum = jnp.zeros((B,), dt)
+        sq_sum = jnp.zeros((B,), dt) if reg else None
         for oi, o in enumerate(offsets):
             csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
-            sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
+            if reg:
+                sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
         cw = jnp.sum(mf, axis=1)
     active = valid & (cw > 0)
     af = active.astype(dt)
     cavg = csum / jnp.maximum(cw, 1.0)[:, None]
-    loss = -reg * jnp.sum(sq_sum * af)
+    loss = (-reg * jnp.sum(sq_sum * af)) if reg else jnp.float32(0.0)
     two_ar = 2.0 * alpha * reg
 
     # positive term
     q_vc = quantize(v_c, bl)
     f_pos = jnp.sum(cavg * q_vc, axis=-1)
     g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * af
-    loss = loss + jnp.sum((jnp.log(sigmoid_exact(f_pos))
-                           - reg * jnp.sum(q_vc * q_vc, axis=-1)) * af)
+    pos_reg = (reg * jnp.sum(q_vc * q_vc, axis=-1)) if reg else 0.0
+    loss = loss + jnp.sum((jnp.log(sigmoid_exact(f_pos)) - pos_reg) * af)
     cavge = g_pos[:, None] * q_vc
     dv_center = g_pos[:, None] * cavg - two_ar * v_c * af[:, None]
 
@@ -156,9 +162,10 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         if dense_hot is not None:
             m3 = m3 * jnp.float32(dense_hot[0])  # cold importance weight
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
-        vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
+        neg_reg = (reg * jnp.sum(q_vn * q_vn, axis=-1)[:, None, :]
+                   if reg else 0.0)
         loss = loss + jnp.sum(
-            (jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq[:, None, :]) * m3)
+            (jnp.log(sigmoid_exact(-f_neg)) - neg_reg) * m3)
         cavge = cavge + from_tiles(lax.dot_general(
             g_neg, q_vn, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32), B)
@@ -189,9 +196,10 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         skip_h = jnp.arange(H, dtype=jnp.int32)[None, :] != centers[:, None]
         mh = skip_h.astype(dt) * af[:, None] * hot_w[None, :]
         g_h = (0.0 - sigmoid_lut(f_h)) * alpha * mh
-        vh_sq = jnp.sum(q_vh * q_vh, axis=-1)
+        hot_reg = (reg * jnp.sum(q_vh * q_vh, axis=-1)[None, :]
+                   if reg else 0.0)
         loss = loss + jnp.sum(
-            (jnp.log(sigmoid_exact(-f_h)) - reg * vh_sq[None, :]) * mh)
+            (jnp.log(sigmoid_exact(-f_h)) - hot_reg) * mh)
         cavge = cavge + lax.dot_general(
             g_h, q_vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [B, D]

@@ -131,7 +131,8 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
               use_pallas: bool = False, hot_rows: int = 0,
               dedup_block: int = 0, neg_pool: int = 1, banded: int = 0,
               scatter_impl: str = "add", span_plans=None,
-              span_window: int = 512, span_chunk: int = 128):
+              span_window: int = 512, span_chunk: int = 128,
+              span_rank1: bool = False):
     """One synchronous step over B consecutive centers. Returns (u, v, loss).
 
     use_pallas=True routes the shared-negative phase through the fused
@@ -198,7 +199,10 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     u_slab = u[slab_ids][:, :D].astype(dt)                 # [B+2W, D]
     q_slab = quantize(u_slab, bl)
 
-    q_sq = jnp.sum(q_slab * q_slab, axis=-1)               # [B+2W]
+    # reg == 0 is static: skip the squared-norm loss passes entirely (XLA
+    # does not fold 0*x; round-5 floor ablation) — same guard as the fused
+    # step
+    q_sq = jnp.sum(q_slab * q_slab, axis=-1) if reg else None   # [B+2W]
     if banded:
         from word2bits_tpu.ops.windowed import (banded_context,
                                                 build_banded_masks, pick_tile)
@@ -211,15 +215,16 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         mf = mask.astype(dt)                               # [B, 2W]
         # context sums via shifted slices of the quantized slab
         csum = jnp.zeros((B, D), dt)
-        sq_sum = jnp.zeros((B,), dt)  # sum over ctx ||q||^2 for reg loss
+        sq_sum = jnp.zeros((B,), dt) if reg else None  # ctx ||q||^2 (reg)
         for oi, o in enumerate(offsets):
             csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
-            sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
+            if reg:
+                sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
         cw = jnp.sum(mf, axis=1)
     active = valid & (cw > 0)
     af = active.astype(dt)
     cavg = csum / jnp.maximum(cw, 1.0)[:, None]            # [B, D]
-    loss = -reg * jnp.sum(sq_sum * af)
+    loss = (-reg * jnp.sum(sq_sum * af)) if reg else jnp.float32(0.0)
 
     two_ar = 2.0 * alpha * reg
 
@@ -228,8 +233,8 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     q_vc = quantize(v_c, bl)
     f_pos = jnp.sum(cavg * q_vc, axis=-1)                  # [B]
     g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * af
-    loss = loss + jnp.sum((jnp.log(sigmoid_exact(f_pos))
-                           - reg * jnp.sum(q_vc * q_vc, axis=-1)) * af)
+    pos_reg = (reg * jnp.sum(q_vc * q_vc, axis=-1)) if reg else 0.0
+    loss = loss + jnp.sum((jnp.log(sigmoid_exact(f_pos)) - pos_reg) * af)
     cavge = g_pos[:, None] * q_vc                          # [B, D]
     dv_center = g_pos[:, None] * cavg - two_ar * v_c * af[:, None]
 
@@ -280,9 +285,10 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         if P > 1:
             m3 = m3 * pool_mask(G, K, P, dt)[None]
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
-        vn_sq = jnp.sum(q_vn * q_vn, axis=-1)              # [T, K]
+        neg_reg = (reg * jnp.sum(q_vn * q_vn, axis=-1)[:, None, :]
+                   if reg else 0.0)                        # [T, 1, K]
         loss = loss + jnp.sum(
-            (jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq[:, None, :]) * m3)
+            (jnp.log(sigmoid_exact(-f_neg)) - neg_reg) * m3)
         # cavge += sum_k g_neg * q_vn : (G,K) x (K,D) MXU
         cavge = cavge + from_tiles(lax.dot_general(
             g_neg, q_vn, (((2,), (1,)), ((0,), (0,))),
@@ -308,11 +314,12 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         skip = negs != centers[:, None]
         m2 = skip.astype(dt) * af[:, None]
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m2
-        vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
-        loss = loss + jnp.sum((jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq) * m2)
+        neg_reg = (reg * jnp.sum(q_vn * q_vn, axis=-1)) if reg else 0.0
+        loss = loss + jnp.sum(
+            (jnp.log(sigmoid_exact(-f_neg)) - neg_reg) * m2)
         cavge = cavge + jnp.einsum("bk,bkd->bd", g_neg, q_vn)
         ids_v = jnp.concatenate([centers, negs.reshape(-1)])
-        if spanning and reg == 0.0:
+        if spanning and reg == 0.0 and span_rank1:
             # rank-1 negative rows (VERDICT r4 item 2 / ROADMAP 4b): with
             # reg == 0, dv_neg[b, k] = g_neg[b, k] * cavg[b] exactly — the
             # permuted row stream is formed inside the span apply from the
@@ -375,7 +382,8 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                           hot_rows: int = 0, dedup_block: int = 0,
                           neg_pool: int = 1, banded: int = 0,
                           scatter_impl: str = "add",
-                          span_window: int = 512, span_chunk: int = 128):
+                          span_window: int = 512, span_chunk: int = 128,
+                          span_rank1: bool = False):
     """Drop-in replacement for make_train_chunk using the slab formulation.
     Same signature: chunk(u, v, tokens, sent_ids, alias_prob, alias_alias,
     scalars, key) -> (u, v, loss_sum).
@@ -422,7 +430,8 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                          use_pallas=use_pallas, hot_rows=hot_rows,
                          dedup_block=dedup_block, neg_pool=P, banded=banded,
                          scatter_impl=scatter_impl, span_plans=span_plans,
-                         span_window=span_window, span_chunk=span_chunk)
+                         span_window=span_window, span_chunk=span_chunk,
+                         span_rank1=span_rank1)
 
     if steps == 1:
         # No-scan capacity path (see models/cbow_fused.py): donation aliases

@@ -71,15 +71,40 @@ def build_banded_masks(slab_sents, shrink, B: int, W: int, tile: int):
     return m.astype(jnp.float32), win_idx, valid.reshape(B)
 
 
+def _tile_windows(x, Nt: int, tile: int, W: int):
+    """[B+2W, ...] -> [Nt, tile+2W, ...] sliding tile windows via two
+    reshapes + one pad — NO row gather (the round-5 floor ablation showed
+    the win_idx gather of overlapping windows as a visible slice of the
+    scatter-free step; slices/reshapes stream at memcpy speed)."""
+    B = Nt * tile
+    a = x[:B].reshape((Nt, tile) + x.shape[1:])
+    pad = ((0, tile - 2 * W),) + ((0, 0),) * (x.ndim - 1)
+    h = jnp.pad(x[tile:], pad).reshape((Nt, tile) + x.shape[1:])[:, :2 * W]
+    return jnp.concatenate([a, h], axis=1)
+
+
 def banded_context(q_slab, q_sq, M, win_idx, B: int):
-    """(csum [B, D], sq_sum [B], cw [B]) via one MXU contraction per tile."""
+    """(csum [B, D], sq_sum [B], cw [B]) via one MXU contraction per tile.
+
+    q_sq=None skips the squared-norm column entirely (reg == 0: the only
+    consumer is the -reg*||q||^2 loss term) — which also avoids the
+    [B+2W, D+1] augmented concat whose off-tile lane count forced a
+    relayout copy of the whole slab (round-5 floor ablation).
+    """
+    del win_idx  # retained in the signature for the mask-builder pairing
     D = q_slab.shape[1]
-    aug = jnp.concatenate(
-        [q_slab, q_sq[:, None]], axis=1)[win_idx]          # [Nt, F, D+1]
+    Nt, tile, F = M.shape
+    W = (F - tile) // 2
+    if q_sq is None:
+        aug = _tile_windows(q_slab, Nt, tile, W)           # [Nt, F, D]
+    else:
+        aug = _tile_windows(
+            jnp.concatenate([q_slab, q_sq[:, None]], axis=1),
+            Nt, tile, W)                                   # [Nt, F, D+1]
     out = lax.dot_general(M, aug, (((2,), (1,)), ((0,), (0,))),
                           preferred_element_type=jnp.float32)
     csum = out[..., :D].reshape(B, D)
-    sq_sum = out[..., D].reshape(B)
+    sq_sum = None if q_sq is None else out[..., D].reshape(B)
     cw = jnp.sum(M, axis=2).reshape(B)
     return csum, sq_sum, cw
 

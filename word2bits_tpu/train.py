@@ -403,6 +403,21 @@ def train(cfg: Word2BitsConfig,
         except Exception as e:  # axon backends may not support tracing
             _log(cfg, f"WARNING: profiler unavailable ({e})")
 
+    # Sync the parameter upload BEFORE the training clock starts: on the
+    # axon backend jnp.asarray transfers complete lazily at the next host
+    # sync, which used to land inside the first segment's n_tokens fetch —
+    # a 12.3 GB flagship table (~8 min of tunnel) misattributed to the
+    # train loop (round-5 diagnosis: "[seg] build 478s", of which the
+    # builder itself was ~10 s).  One scalar fetch forces it to finish
+    # here, where it is startup I/O.
+    t_up = time.perf_counter()
+    for arr in (u, v):
+        if arr is not None and hasattr(arr, "shape") and getattr(
+                arr, "size", 0) and not isinstance(arr, np.ndarray):
+            np.asarray(arr[(0,) * arr.ndim])
+    if cfg.debug > 2:
+        _log(cfg, f"[init] param upload sync {time.perf_counter() - t_up:.1f}s")
+
     t_train0 = time.perf_counter()
     fetch_s = 0.0
     words_at_start = words_done  # resumed runs report THIS run's rate only
