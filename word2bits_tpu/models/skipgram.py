@@ -74,11 +74,16 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     q_vc = quantize(v_c, bl)
     f_pos = jnp.einsum("bod,bd->bo", q_in, q_vc)          # [B, 2W]
     g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * mf
-    vc_sq = jnp.sum(q_vc * q_vc, axis=-1)                 # [B]
-    in_sq = jnp.sum(q_in * q_in, axis=-1)                 # [B, 2W]
-    # per-pair loss: log sigma(f) - reg(||q_v||^2 + ||q_u||^2)
-    loss = jnp.sum((jnp.log(sigmoid_exact(f_pos))
-                    - reg * (vc_sq[:, None] + in_sq)) * mf)
+    # per-pair loss: log sigma(f) - reg(||q_v||^2 + ||q_u||^2); reg == 0
+    # is static — skip the squared-norm passes (XLA does not fold 0*x;
+    # same guard as the CBOW steps, round 5)
+    if reg:
+        vc_sq = jnp.sum(q_vc * q_vc, axis=-1)             # [B]
+        in_sq = jnp.sum(q_in * q_in, axis=-1)             # [B, 2W]
+        pos_reg = reg * (vc_sq[:, None] + in_sq)
+    else:
+        pos_reg = 0.0
+    loss = jnp.sum((jnp.log(sigmoid_exact(f_pos)) - pos_reg) * mf)
 
     # dv[center] += sum_o g_pos * q_in - 2*alpha*reg*v_c per visit
     pair_cnt = jnp.sum(mf, axis=1)                        # [B]
@@ -106,9 +111,10 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         mh = (skip_h.astype(dt) * mf.reshape(-1)[:, None]
               * hot_w[None, :])                            # [B*2W, H]
         g_h = (0.0 - sigmoid_lut(f_h)) * alpha * mh
-        vh_sq = jnp.sum(q_vh * q_vh, axis=-1)
+        hot_reg = (reg * jnp.sum(q_vh * q_vh, axis=-1)[None, :]
+                   if reg else 0.0)
         loss = loss + jnp.sum(
-            (jnp.log(sigmoid_exact(-f_h)) - reg * vh_sq[None, :]) * mh)
+            (jnp.log(sigmoid_exact(-f_h)) - hot_reg) * mh)
         din = din + lax.dot_general(
             g_h, q_vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).reshape(B, 2 * W, D)
@@ -144,10 +150,11 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         if dense_hot is not None:
             m4 = m4 * jnp.float32(dense_hot[0])
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m4
-        vn_sq = jnp.sum(q_vn * q_vn, axis=-1)             # [T, K]
+        vn_sq = (jnp.sum(q_vn * q_vn, axis=-1) if reg
+                 else None)                                # [T, K]
         loss = loss + jnp.sum(
             (jnp.log(sigmoid_exact(-f_neg))
-             - reg * vn_sq[:, None, None, :]) * m4)
+             - (reg * vn_sq[:, None, None, :] if reg else 0.0)) * m4)
         # dv[neg] += sum_pairs g * q_in - decay per visit
         g2 = g_neg.reshape(T, G * 2 * W, PK)
         dv_neg = lax.dot_general(g2, q_in4, (((1,), (1,)), ((0,), (0,))),
@@ -171,9 +178,10 @@ def skipgram_slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         if dense_hot is not None:
             m3 = m3 * jnp.float32(dense_hot[0])
         g_neg = (0.0 - sigmoid_lut(f_neg)) * alpha * m3
-        vn_sq = jnp.sum(q_vn * q_vn, axis=-1)
+        neg_reg = (reg * jnp.sum(q_vn * q_vn, axis=-1)[:, None, :]
+                   if reg else 0.0)
         loss = loss + jnp.sum(
-            (jnp.log(sigmoid_exact(-f_neg)) - reg * vn_sq[:, None, :]) * m3)
+            (jnp.log(sigmoid_exact(-f_neg)) - neg_reg) * m3)
         dv_neg = jnp.einsum("bok,bod->bkd", g_neg, q_in)
         visits = jnp.sum(m3, axis=1)                      # [B, K]
         dv_neg = dv_neg - two_ar * v_n * visits[..., None]
