@@ -94,6 +94,12 @@ CFG_TAG = (f"pool{CFG['neg_pool']}-a{CFG['alpha']:.2f}-b{CFG['batch_size']}"
 # number.
 VARIANTS = [
     dict(name="base"),
+    # ctx: the fused context+positive forward kernel
+    # (kernels/context_pallas.py) composed with the span winner —
+    # update-equal modulo float summation order; measured 722 vs 737 us
+    # same-session (step_bench, 2026-08-20)
+    dict(name="ctx_span_banded256_S256", banded=256, steps_per_chunk=256,
+         scatter_impl="span", context_pallas=True),
     # span: the spanning sweep scatter (kernels/span_scatter.py) with the
     # sort/plan pre-pass hoisted out of the scan — update-equal modulo
     # float summation order, measured 16.8M words/sec vs add's 11.8M at
@@ -228,7 +234,7 @@ def _read_partial():
 # gets the retry schedule; later sets are pure upside, one attempt each,
 # all bounded by TOTAL_BUDGET.
 VARIANT_SETS = [
-    "span_banded256_S256",
+    "ctx_span_banded256_S256,span_banded256_S256",
     "base,span_banded256_S128",
     "span_banded256_S128_w256,span_S128",
     "banded256_S256",
@@ -491,7 +497,9 @@ def main():
                                           col_pad=col_pad,
                                           span_window=sw,
                                           span_chunk=int(
-                                              cfg.get("span_chunk", 128)))
+                                              cfg.get("span_chunk", 128)),
+                                          context_pallas=bool(
+                                              cfg.get("context_pallas")))
         extra = ()
         if hot:
             n_rows = len(ep.tokens) // B + Sv + 2

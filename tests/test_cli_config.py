@@ -170,3 +170,17 @@ def test_dense_hot_fine_grid_warns():
     names1 = [n for n, _, _ in variants(Word2BitsConfig(bitlevel=1), 70_000)]
     assert "dense-hot" not in names4
     assert "dense-hot" in names1
+
+
+def test_context_pallas_validation():
+    kw = dict(fused_tables=True, neg_sharing=64, batch_size=128)
+    with pytest.raises(ValueError, match="banded"):
+        Word2BitsConfig(context_pallas=True, **kw)
+    with pytest.raises(ValueError, match="reg"):
+        Word2BitsConfig(context_pallas=True, banded_tile=128, reg=0.1, **kw)
+    with pytest.raises(ValueError, match="fused-table"):
+        Word2BitsConfig(context_pallas=True, banded_tile=128)
+    cfg = config_from_argv(
+        "-fused-tables 1 -neg-sharing 64 -batch-size 128 -banded-tile 256 "
+        "-context-pallas 1".split())
+    assert cfg.context_pallas

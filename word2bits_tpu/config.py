@@ -148,6 +148,13 @@ class Word2BitsConfig:
     # exports slice the padding off.  Fused-table CBOW single-chip path;
     # use with -steps-per-chunk 1 for the donated no-scan loop.
     rmw_scatter: bool = False
+    # Fused context+positive forward kernel (kernels/context_pallas.py):
+    # quantize -> banded context sums -> center scores -> positive grads in
+    # one VMEM pass per batch tile (the f32 q_slab never materializes).
+    # Requires -banded-tile and reg == 0; fused-table CBOW, single chip.
+    # Measured +2% on the shipped bench config (722 vs 737 us/step,
+    # step_bench 2026-08-20); update-equal modulo float summation order.
+    context_pallas: bool = False
     # Banded windowed sums (0 = off): compute the step's two windowed
     # reductions (context sums and per-position u sums) as banded-block MXU
     # matmuls with this tile size instead of 2W shifted VPU adds
@@ -404,6 +411,21 @@ class Word2BitsConfig:
             if self.span_chunk <= 0:
                 raise ValueError("-span-chunk must be positive, "
                                  f"got {self.span_chunk}")
+        if self.context_pallas:
+            if self.mesh_shape:
+                raise ValueError("-context-pallas is single-chip (the "
+                                 "sharded bodies keep the XLA path)")
+            if self.model != "cbow" or not (self.fused_tables
+                                            and self.neg_sharing):
+                raise ValueError(
+                    "-context-pallas runs on the fused-table CBOW path "
+                    "(-fused-tables 1 -neg-sharing G -model cbow)")
+            if not self.banded_tile:
+                raise ValueError("-context-pallas requires -banded-tile "
+                                 "(the kernel consumes the banded masks)")
+            if self.reg:
+                raise ValueError("-context-pallas supports -reg 0 only "
+                                 "(the XLA path keeps the reg terms)")
         if self.loop_mode not in ("scan", "fori", "unroll"):
             raise ValueError(f"unknown -loop-mode {self.loop_mode!r} "
                              "(supported: scan, fori, unroll)")
@@ -556,6 +578,7 @@ REFERENCE_FLAGS = {
     "-resume": ("resume", lambda s: bool(int(s))),
     "-auto-lr": ("auto_lr", lambda s: bool(int(s))),
     "-use-pallas": ("use_pallas", lambda s: bool(int(s))),
+    "-context-pallas": ("context_pallas", lambda s: bool(int(s))),
     "-device-epoch": ("device_epoch", lambda s: bool(int(s))),
     "-dedup-block": ("dedup_block", int),
     "-hot-rows": ("hot_rows", int),

@@ -52,7 +52,8 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                     hot_pallas: bool = False, banded: int = 0,
                     rmw_scatter: bool = False, col_pad: int = 0,
                     scatter_impl: str = "add", span_plan=None,
-                    span_window: int = 512, span_chunk: int = 128):
+                    span_window: int = 512, span_chunk: int = 128,
+                    context_pallas: bool = False):
     """One synchronous step on the fused (V, 2D) table. Shared negatives
     required (the fused layout exists for the optimized path).
     use_pallas routes the negative score/gradient phase through the fused
@@ -85,48 +86,79 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
     centers = slab_ids[W:W + B]
 
     # ONE gather: u rows for all positions + v rows for the centers
-    slab_rows = table[slab_ids].astype(dt)                 # [B+2W, 2D]
-    u_slab = slab_rows[:, :D]
-    v_c = slab_rows[W:W + B, D:2 * D]                      # centers' v rows
-    q_slab = quantize(u_slab, bl)
-
-    # reg == 0 (a Python float, static at trace time): the squared-norm
-    # loss terms are identically zero — skip computing them rather than
-    # trusting XLA to fold 0*x (it does not; the round-5 floor ablation
-    # showed the q_sq/||q_vn||^2 passes and the [B+2W, D+1] augmented
-    # concat as real scatter-free-floor weight)
-    q_sq = jnp.sum(q_slab * q_slab, axis=-1) if reg else None
-    if banded:
-        from word2bits_tpu.ops.windowed import (banded_context,
-                                                build_banded_masks, pick_tile)
+    slab_raw = table[slab_ids]                             # [B+2W, 2D] dtype
+    two_ar = 2.0 * alpha * reg
+    if context_pallas:
+        # fused context+positive forward kernel (kernels/context_pallas.py):
+        # quantize -> banded context sums -> center scores -> positive
+        # grads in one VMEM pass; the f32 q_slab/u_slab never materialize.
+        # reg == 0 only (the squared-norm/decay terms consume them).
+        if not banded:
+            raise ValueError("context_pallas requires -banded-tile (the "
+                             "kernel consumes the banded masks)")
+        if reg:
+            raise ValueError("context_pallas supports reg == 0 only (the "
+                             "XLA path keeps the reg terms)")
+        from word2bits_tpu.kernels.context_pallas import fused_context_pallas
+        from word2bits_tpu.ops.windowed import (_tile_windows,
+                                                build_banded_masks,
+                                                pick_tile)
         btile = pick_tile(B, W, banded)
+        Nt = B // btile
         Mb, win_idx, valid = build_banded_masks(
             inputs.slab_sents, inputs.shrink, B, W, btile)
-        csum, sq_sum, cw = banded_context(q_slab, q_sq, Mb, win_idx, B)
+        uwin3 = _tile_windows(slab_raw[:, :D], Nt, btile, W)
+        scal = jnp.reshape(jnp.asarray(alpha, jnp.float32), (1, 1))
+        interp = jax.default_backend() not in ("tpu", "axon")
+        cavg, cavge, dv_center, af, loss = fused_context_pallas(
+            uwin3, slab_raw[W:W + B, D:2 * D], Mb,
+            valid.astype(jnp.float32)[:, None], scal, bl, interp)
+        u_slab = None   # unused at reg == 0 (no decay term)
     else:
-        offsets, mask, valid = _context_masks(inputs, B, W)
-        mf = mask.astype(dt)
-        csum = jnp.zeros((B, D), dt)
-        sq_sum = jnp.zeros((B,), dt) if reg else None
-        for oi, o in enumerate(offsets):
-            csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
-            if reg:
-                sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
-        cw = jnp.sum(mf, axis=1)
-    active = valid & (cw > 0)
-    af = active.astype(dt)
-    cavg = csum / jnp.maximum(cw, 1.0)[:, None]
-    loss = (-reg * jnp.sum(sq_sum * af)) if reg else jnp.float32(0.0)
-    two_ar = 2.0 * alpha * reg
+        slab_rows = slab_raw.astype(dt)                    # [B+2W, 2D]
+        u_slab = slab_rows[:, :D]
+        v_c = slab_rows[W:W + B, D:2 * D]                  # centers' v rows
+        q_slab = quantize(u_slab, bl)
 
-    # positive term
-    q_vc = quantize(v_c, bl)
-    f_pos = jnp.sum(cavg * q_vc, axis=-1)
-    g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * af
-    pos_reg = (reg * jnp.sum(q_vc * q_vc, axis=-1)) if reg else 0.0
-    loss = loss + jnp.sum((jnp.log(sigmoid_exact(f_pos)) - pos_reg) * af)
-    cavge = g_pos[:, None] * q_vc
-    dv_center = g_pos[:, None] * cavg - two_ar * v_c * af[:, None]
+        # reg == 0 (a Python float, static at trace time): the squared-norm
+        # loss terms are identically zero — skip computing them rather than
+        # trusting XLA to fold 0*x (it does not; the round-5 floor ablation
+        # showed the q_sq/||q_vn||^2 passes and the [B+2W, D+1] augmented
+        # concat as real scatter-free-floor weight)
+        q_sq = jnp.sum(q_slab * q_slab, axis=-1) if reg else None
+        if banded:
+            from word2bits_tpu.ops.windowed import (banded_context,
+                                                    build_banded_masks,
+                                                    pick_tile)
+            btile = pick_tile(B, W, banded)
+            Mb, win_idx, valid = build_banded_masks(
+                inputs.slab_sents, inputs.shrink, B, W, btile)
+            csum, sq_sum, cw = banded_context(q_slab, q_sq, Mb, win_idx, B)
+        else:
+            offsets, mask, valid = _context_masks(inputs, B, W)
+            mf = mask.astype(dt)
+            csum = jnp.zeros((B, D), dt)
+            sq_sum = jnp.zeros((B,), dt) if reg else None
+            for oi, o in enumerate(offsets):
+                csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
+                if reg:
+                    sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
+            cw = jnp.sum(mf, axis=1)
+        active = valid & (cw > 0)
+        af = active.astype(dt)
+        cavg = csum / jnp.maximum(cw, 1.0)[:, None]
+        loss = (-reg * jnp.sum(sq_sum * af)) if reg else jnp.float32(0.0)
+
+        # positive term
+        q_vc = quantize(v_c, bl)
+        f_pos = jnp.sum(cavg * q_vc, axis=-1)
+        g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * af
+        pos_reg = (reg * jnp.sum(q_vc * q_vc, axis=-1)) if reg else 0.0
+        loss = loss + jnp.sum((jnp.log(sigmoid_exact(f_pos)) - pos_reg) * af)
+        cavge = g_pos[:, None] * q_vc
+        dv_center = g_pos[:, None] * cavg
+        if reg:
+            dv_center = dv_center - two_ar * v_c * af[:, None]
 
     # shared negatives (strided tiles), v-half gathered from the fused table
     P = neg_pool if neg_pool and neg_pool > 1 else 1
@@ -171,8 +203,9 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             preferred_element_type=jnp.float32), B)
         dv_neg = lax.dot_general(g_neg, cavg3, (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
-        visits = jnp.sum(m3, axis=1)
-        dv_neg = dv_neg - two_ar * v_n * visits[:, :, None]
+        if reg:
+            visits = jnp.sum(m3, axis=1)
+            dv_neg = dv_neg - two_ar * v_n * visits[:, :, None]
 
     dv_hot = None
     if dense_hot is not None:
@@ -205,7 +238,8 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             preferred_element_type=jnp.float32)            # [B, D]
         dv_hot = lax.dot_general(g_h, cavg, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [H, D]
-        dv_hot = dv_hot - two_ar * v_h * jnp.sum(mh, axis=0)[:, None]
+        if reg:
+            dv_hot = dv_hot - two_ar * v_h * jnp.sum(mh, axis=0)[:, None]
 
     # u updates grouped by position (windowed sums)
     if banded:
@@ -221,7 +255,8 @@ def fused_slab_step(table, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         cnt = jnp.sum(jnp.stack(
             [jnp.pad(mc[:, oi], (W + o, W - o))
              for oi, o in enumerate(offsets)]), axis=0)
-    du_slab = du_slab - two_ar * u_slab * cnt[:, None]
+    if reg:
+        du_slab = du_slab - two_ar * u_slab * cnt[:, None]
 
     # ONE fused scatter for u-positions + center v-rows ...
     dv_slab = jnp.zeros((B + 2 * W, D), dt)
@@ -424,7 +459,8 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                            rmw_scatter: bool = False, col_pad: int = 0,
                            scatter_impl: str = "add",
                            span_window: int = 512, span_chunk: int = 128,
-                           loop_mode: str = "scan"):
+                           loop_mode: str = "scan",
+                           context_pallas: bool = False):
     """chunk(table, tokens, sent_ids, alias_prob, alias_alias, scalars, key
     [, cold_pos]) -> (table, loss_sum); table is the fused (V, 2D) array.
 
@@ -530,7 +566,8 @@ def make_fused_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                                scatter_impl=scatter_impl,
                                span_plan=span_plan,
                                span_window=span_window,
-                               span_chunk=span_chunk)
+                               span_chunk=span_chunk,
+                               context_pallas=context_pallas)
 
     if steps == 1:
         # No-scan capacity path: lax.scan double-buffers the carried table

@@ -187,7 +187,8 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
                                           scatter_impl=cfg.scatter_impl,
                                           span_window=cfg.span_window,
                                           span_chunk=cfg.span_chunk,
-                                          loop_mode=cfg.loop_mode)
+                                          loop_mode=cfg.loop_mode,
+                                          context_pallas=cfg.context_pallas)
 
         # -hot-rows: the per-segment cold-row compaction map, updated by the
         # segment loop below (an explicit jit arg; the holder just threads it
