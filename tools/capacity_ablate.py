@@ -340,6 +340,14 @@ def main():
                                         banded=256)
             measure_chunk(name, fn, B0, S, analyze_first=True)
 
+    if on("grmw_fori32_banded_ctx"):
+        fn = make_fused_train_chunk(hyper, V, B0, steps=32,
+                                    neg_sharing=G, scatter_impl="grmw",
+                                    col_pad=cpad, loop_mode="fori",
+                                    banded=256, context_pallas=True)
+        measure_chunk("grmw_fori32_banded_ctx", fn, B0, 32,
+                      analyze_first=True)
+
     if on("grmw_fori8_banded_c256"):
         fn = make_fused_train_chunk(hyper, V, B0, steps=8,
                                     neg_sharing=G, scatter_impl="grmw",

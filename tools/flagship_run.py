@@ -7,7 +7,7 @@ ROADMAP 4d; round-5: multi-segment epochs + the fast capacity config +
 the reference-evaluator cross-check, VERDICT r4 items 1/4/5): corpus ->
 C++ vocab build -> bit-exact LCG init -> multi-epoch MULTI-SEGMENT
 streamed training (bf16 fused tables, sorted group-RMW scatter in
-in-place fori chunks — 2.66M words/sec at the flagship shape,
+in-place fori chunks + the fused context kernel — 3.45M words/sec at the flagship shape,
 tools/capacity_ablate.py; --rmw selects the round-4 no-scan path) ->
 full-state checkpoint -> resume for one more epoch -> reference-format
 binary + packed export -> analogy evaluation at 3.7M rows -> truncated
@@ -122,7 +122,8 @@ def main():
         speed = dict(rmw_scatter=True, steps_per_chunk=1)
     else:
         speed = dict(scatter_impl="grmw", loop_mode="fori",
-                     steps_per_chunk=32, banded_tile=256)
+                     steps_per_chunk=32, banded_tile=256,
+                     context_pallas=True)
     common = dict(
         train_file=corpus, output_file=out, binary=True, packed=True,
         bitlevel=1, size=_arg("--size", 800, int), window=5, negative=10,
