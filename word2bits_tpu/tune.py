@@ -41,6 +41,8 @@ _FLAG = {
     "hot_rows": ("-hot-rows", str),
     "neg_dense_hot": ("-neg-dense-hot", lambda v: "1"),
     "banded_tile": ("-banded-tile", str),
+    "scatter_impl": ("-scatter-impl", str),
+    "context_pallas": ("-context-pallas", lambda v: "1"),
     "dtype": ("-dtype", str),
     "steps_per_chunk": ("-steps-per-chunk", str),
 }
@@ -105,6 +107,18 @@ def variants(cfg: Word2BitsConfig, V: int) -> List[Tuple[str, Dict, str]]:
     if bt:
         out.append(("banded", dict(fused, banded_tile=bt),
                     "same sums, float order differs"))
+        # the round-5 bench winners: spanning-sweep scatter and the fused
+        # context kernel (update-equal modulo float order; the kernel
+        # needs reg == 0)
+        out.append(("span-banded", dict(fused, banded_tile=bt,
+                                        scatter_impl="span"),
+                    "sorted sweep scatter; update-equal (float order)"))
+        if not cfg.reg:
+            out.append(("ctx-span-banded",
+                        dict(fused, banded_tile=bt, scatter_impl="span",
+                             context_pallas=True),
+                        "fused context kernel + span; update-equal "
+                        "(float order)"))
     # scan-chunk size: the measured top lever on the tunnel-latency v5e
     # (step_bench 2026-08-19: S=128 +22% over S=16) — dispatch grouping
     # only, same estimator; skip when the user already runs big chunks or
