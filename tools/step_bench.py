@@ -137,6 +137,12 @@ def main():
         yield ("p2-ctx-span-banded256-S128", B,
                dict(neg_sharing=G, neg_pool=2, scatter_impl="span",
                     banded=256, context_pallas=True), "fused", 128)
+        yield ("p1-ctx-span-banded256-S256", B,
+               dict(neg_sharing=G, scatter_impl="span",
+                    banded=256, context_pallas=True), "fused", 256)
+        yield ("p2-ctx-span-banded256-S512", B,
+               dict(neg_sharing=G, neg_pool=2, scatter_impl="span",
+                    banded=256, context_pallas=True), "fused", 512)
         # same SHARING DEGREE (G/P = 32 centers per negative set — the
         # quality-relevant quantity behind the shipped pool2@G=64 row) at
         # MXU-filling tile sizes: G=128/P=4 and G=256/P=8 double/quadruple
