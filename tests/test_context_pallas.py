@@ -74,3 +74,46 @@ def test_context_pallas_requires_banded_and_reg0():
                                  banded=8, context_pallas=True)
     with pytest.raises(ValueError, match="reg"):
         fn2(*args)
+
+
+@pytest.mark.parametrize("sharing,simpl", [(0, "add"), (8, "add"),
+                                           (0, "span")])
+def test_slab_chunk_context_pallas_matches_base(rng, sharing, simpl):
+    """The SLAB chunk (split u/v tables, incl. the exact per-center mode)
+    with context_pallas == the base chunk at reg == 0."""
+    from word2bits_tpu.models.cbow_slab import make_slab_train_chunk
+
+    V, D, B, W, steps = 300, 16, 64, 3, 2
+    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=5, reg=0.0)
+    n = 4 * B + 2 * W + 16
+    tokens = jnp.asarray(rng.integers(0, V, size=n).astype(np.int32))
+    sents = jnp.asarray((np.arange(n) // 97).astype(np.int32))
+    atab = build_alias_table(np.ones(V))
+    u = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    scalars = ChunkScalars(base0=jnp.int32(W), alpha0=jnp.float32(0.05),
+                           wca_start=jnp.float32(0.0),
+                           wca_per_step=jnp.float32(B),
+                           denom=jnp.float32(1e6))
+    key = jax.random.PRNGKey(9)
+
+    kw = {}
+    pu, pv = u, v
+    if simpl == "span":
+        pad = ((0, (-V) % 64), (0, (-D) % 128))
+        kw = dict(scatter_impl="span", span_window=64, span_chunk=32)
+        pu, pv = jnp.pad(u, pad), jnp.pad(v, pad)
+    base = make_slab_train_chunk(hyper, V, B, steps, neg_sharing=sharing,
+                                 donate=False, banded=8, **kw)
+    u0, v0, l0 = base(pu, pv, tokens, sents, atab.prob, atab.alias,
+                      scalars, key)
+    ctx = make_slab_train_chunk(hyper, V, B, steps, neg_sharing=sharing,
+                                donate=False, banded=8,
+                                context_pallas=True, **kw)
+    u1, v1, l1 = ctx(pu, pv, tokens, sents, atab.prob, atab.alias,
+                     scalars, key)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(u1[:V, :D]), np.asarray(u0[:V, :D]),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1[:V, :D]), np.asarray(v0[:V, :D]),
+                               atol=1e-4, rtol=1e-4)

@@ -200,6 +200,12 @@ def main():
         yield ("percenter4096-span-S128-banded256", 4096,
                dict(neg_sharing=0, scatter_impl="span", banded=256),
                "slab", 128)
+        # measured NEGATIVE on the exact path (2026-08-21: 4517 us vs
+        # 3776 without — f32 slab tables get no cast savings and the
+        # negative phase dominates); stays available for tune per-corpus
+        yield ("percenter4096-ctx-span-S128-banded256", 4096,
+               dict(neg_sharing=0, scatter_impl="span", banded=256,
+                    context_pallas=True), "slab", 128)
         # A/B: the rank-1 span apply (measured NEGATIVE 2026-08-20:
         # 4704 us vs 3428 materialized; span_scatter.scatter_add_span_rank1
         # docstring) — default is now the materialized path

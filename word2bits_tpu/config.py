@@ -415,11 +415,10 @@ class Word2BitsConfig:
             if self.mesh_shape:
                 raise ValueError("-context-pallas is single-chip (the "
                                  "sharded bodies keep the XLA path)")
-            if self.model != "cbow" or not (self.fused_tables
-                                            and self.neg_sharing):
+            if self.model != "cbow":
                 raise ValueError(
-                    "-context-pallas runs on the fused-table CBOW path "
-                    "(-fused-tables 1 -neg-sharing G -model cbow)")
+                    "-context-pallas runs on the CBOW paths (fused-table "
+                    "or slab, including the exact per-center mode)")
             if not self.banded_tile:
                 raise ValueError("-context-pallas requires -banded-tile "
                                  "(the kernel consumes the banded masks)")

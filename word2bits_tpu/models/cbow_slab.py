@@ -132,7 +132,7 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
               dedup_block: int = 0, neg_pool: int = 1, banded: int = 0,
               scatter_impl: str = "add", span_plans=None,
               span_window: int = 512, span_chunk: int = 128,
-              span_rank1: bool = False):
+              span_rank1: bool = False, context_pallas: bool = False):
     """One synchronous step over B consecutive centers. Returns (u, v, loss).
 
     use_pallas=True routes the shared-negative phase through the fused
@@ -194,49 +194,79 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
 
     slab_ids = jnp.maximum(inputs.slab_tokens, 0)          # [B+2W]
     centers = slab_ids[W:W + B]
-
-    # --- one slab gather; quantize once (reference reads quantize(u[ctx])) ---
-    u_slab = u[slab_ids][:, :D].astype(dt)                 # [B+2W, D]
-    q_slab = quantize(u_slab, bl)
-
-    # reg == 0 is static: skip the squared-norm loss passes entirely (XLA
-    # does not fold 0*x; round-5 floor ablation) — same guard as the fused
-    # step
-    q_sq = jnp.sum(q_slab * q_slab, axis=-1) if reg else None   # [B+2W]
-    if banded:
-        from word2bits_tpu.ops.windowed import (banded_context,
-                                                build_banded_masks, pick_tile)
-        tile = pick_tile(B, W, banded)
-        Mb, win_idx, valid = build_banded_masks(
-            inputs.slab_sents, inputs.shrink, B, W, tile)
-        csum, sq_sum, cw = banded_context(q_slab, q_sq, Mb, win_idx, B)
-    else:
-        offsets, mask, valid = _context_masks(inputs, B, W)
-        mf = mask.astype(dt)                               # [B, 2W]
-        # context sums via shifted slices of the quantized slab
-        csum = jnp.zeros((B, D), dt)
-        sq_sum = jnp.zeros((B,), dt) if reg else None  # ctx ||q||^2 (reg)
-        for oi, o in enumerate(offsets):
-            csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
-            if reg:
-                sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
-        cw = jnp.sum(mf, axis=1)
-    active = valid & (cw > 0)
-    af = active.astype(dt)
-    cavg = csum / jnp.maximum(cw, 1.0)[:, None]            # [B, D]
-    loss = (-reg * jnp.sum(sq_sum * af)) if reg else jnp.float32(0.0)
-
     two_ar = 2.0 * alpha * reg
 
-    # --- center (positive) term, always per-center ---
-    v_c = v[centers][:, :D].astype(dt)                     # [B, D]
-    q_vc = quantize(v_c, bl)
-    f_pos = jnp.sum(cavg * q_vc, axis=-1)                  # [B]
-    g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * af
-    pos_reg = (reg * jnp.sum(q_vc * q_vc, axis=-1)) if reg else 0.0
-    loss = loss + jnp.sum((jnp.log(sigmoid_exact(f_pos)) - pos_reg) * af)
-    cavge = g_pos[:, None] * q_vc                          # [B, D]
-    dv_center = g_pos[:, None] * cavg - two_ar * v_c * af[:, None]
+    if context_pallas:
+        # fused context+positive forward kernel (kernels/context_pallas.py,
+        # the fused-table path's round-5 winner) on the split tables;
+        # requires banded masks and reg == 0 (same guards as the fused step)
+        if not banded:
+            raise ValueError("context_pallas requires banded > 0 (the "
+                             "kernel consumes the banded masks)")
+        if reg:
+            raise ValueError("context_pallas supports reg == 0 only (the "
+                             "XLA path keeps the reg terms)")
+        from word2bits_tpu.kernels.context_pallas import fused_context_pallas
+        from word2bits_tpu.ops.windowed import (_tile_windows,
+                                                build_banded_masks,
+                                                pick_tile)
+        tile = pick_tile(B, W, banded)
+        Nt = B // tile
+        Mb, win_idx, valid = build_banded_masks(
+            inputs.slab_sents, inputs.shrink, B, W, tile)
+        uwin3 = _tile_windows(u[slab_ids][:, :D], Nt, tile, W)
+        scal = jnp.reshape(jnp.asarray(alpha, jnp.float32), (1, 1))
+        interp = jax.default_backend() not in ("tpu", "axon")
+        cavg, cavge, dv_center, af, loss = fused_context_pallas(
+            uwin3, v[centers][:, :D], Mb,
+            valid.astype(jnp.float32)[:, None], scal, bl, interp)
+        u_slab = None   # unused at reg == 0 (no decay term)
+    else:
+        # --- one slab gather; quantize once (reference reads
+        # quantize(u[ctx])) ---
+        u_slab = u[slab_ids][:, :D].astype(dt)             # [B+2W, D]
+        q_slab = quantize(u_slab, bl)
+
+        # reg == 0 is static: skip the squared-norm loss passes entirely
+        # (XLA does not fold 0*x; round-5 floor ablation) — same guard as
+        # the fused step
+        q_sq = jnp.sum(q_slab * q_slab, axis=-1) if reg else None  # [B+2W]
+        if banded:
+            from word2bits_tpu.ops.windowed import (banded_context,
+                                                    build_banded_masks,
+                                                    pick_tile)
+            tile = pick_tile(B, W, banded)
+            Mb, win_idx, valid = build_banded_masks(
+                inputs.slab_sents, inputs.shrink, B, W, tile)
+            csum, sq_sum, cw = banded_context(q_slab, q_sq, Mb, win_idx, B)
+        else:
+            offsets, mask, valid = _context_masks(inputs, B, W)
+            mf = mask.astype(dt)                           # [B, 2W]
+            # context sums via shifted slices of the quantized slab
+            csum = jnp.zeros((B, D), dt)
+            sq_sum = jnp.zeros((B,), dt) if reg else None
+            for oi, o in enumerate(offsets):
+                csum = csum + mf[:, oi, None] * q_slab[W + o:W + o + B]
+                if reg:
+                    sq_sum = sq_sum + mf[:, oi] * q_sq[W + o:W + o + B]
+            cw = jnp.sum(mf, axis=1)
+        active = valid & (cw > 0)
+        af = active.astype(dt)
+        cavg = csum / jnp.maximum(cw, 1.0)[:, None]        # [B, D]
+        loss = (-reg * jnp.sum(sq_sum * af)) if reg else jnp.float32(0.0)
+
+        # --- center (positive) term, always per-center ---
+        v_c = v[centers][:, :D].astype(dt)                 # [B, D]
+        q_vc = quantize(v_c, bl)
+        f_pos = jnp.sum(cavg * q_vc, axis=-1)              # [B]
+        g_pos = (1.0 - sigmoid_lut(f_pos)) * alpha * af
+        pos_reg = (reg * jnp.sum(q_vc * q_vc, axis=-1)) if reg else 0.0
+        loss = loss + jnp.sum((jnp.log(sigmoid_exact(f_pos)) - pos_reg)
+                              * af)
+        cavge = g_pos[:, None] * q_vc                      # [B, D]
+        dv_center = g_pos[:, None] * cavg
+        if reg:
+            dv_center = dv_center - two_ar * v_c * af[:, None]
 
     if neg_sharing and neg_sharing > 0 and use_pallas:
         from word2bits_tpu.kernels.score_pallas import quantized_scores_pallas
@@ -298,7 +328,8 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
             g_neg, cavg3, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)            # [T, K, D]
         visits = jnp.sum(m3, axis=1)                       # [T, K]
-        dv_neg = dv_neg - two_ar * v_n * visits[:, :, None]
+        if reg:
+            dv_neg = dv_neg - two_ar * v_n * visits[:, :, None]
         ids_v = jnp.concatenate([centers, negs.reshape(-1)])
         rows_v = jnp.concatenate([dv_center, dv_neg.reshape(-1, D)])
         if spanning:
@@ -340,8 +371,9 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
                                        cav, K, window=span_window,
                                        chunk=span_chunk)
         else:
-            dv_neg = (g_neg[..., None] * cavg[:, None, :]
-                      - two_ar * v_n * m2[..., None])
+            dv_neg = g_neg[..., None] * cavg[:, None, :]
+            if reg:
+                dv_neg = dv_neg - two_ar * v_n * m2[..., None]
             rows_v = jnp.concatenate([dv_center, dv_neg.reshape(-1, D)])
             if spanning:
                 v = scat_span(v, ids_v, rows_v,
@@ -366,7 +398,8 @@ def slab_step(u, v, inputs: SlabInputs, alpha, hyper: CBOWHyper,
         cnt = jnp.sum(jnp.stack(
             [jnp.pad(mc[:, oi], (W + o, W - o))
              for oi, o in enumerate(offsets)]), axis=0)    # [B+2W]
-    du_slab = du_slab - two_ar * u_slab * cnt[:, None]
+    if reg:
+        du_slab = du_slab - two_ar * u_slab * cnt[:, None]
     if spanning:
         u = scat_span(u, slab_ids, du_slab,
                       None if span_plans is None else span_plans[0])
@@ -383,7 +416,8 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                           neg_pool: int = 1, banded: int = 0,
                           scatter_impl: str = "add",
                           span_window: int = 512, span_chunk: int = 128,
-                          span_rank1: bool = False):
+                          span_rank1: bool = False,
+                          context_pallas: bool = False):
     """Drop-in replacement for make_train_chunk using the slab formulation.
     Same signature: chunk(u, v, tokens, sent_ids, alias_prob, alias_alias,
     scalars, key) -> (u, v, loss_sum).
@@ -431,7 +465,8 @@ def make_slab_train_chunk(hyper: CBOWHyper, vocab_size: int, batch_size: int,
                          dedup_block=dedup_block, neg_pool=P, banded=banded,
                          scatter_impl=scatter_impl, span_plans=span_plans,
                          span_window=span_window, span_chunk=span_chunk,
-                         span_rank1=span_rank1)
+                         span_rank1=span_rank1,
+                         context_pallas=context_pallas)
 
     if steps == 1:
         # No-scan capacity path (see models/cbow_fused.py): donation aliases

@@ -239,7 +239,8 @@ def build_engine(cfg: Word2BitsConfig, vocab: Vocab, u, v,
                                          banded=cfg.banded_tile,
                                          scatter_impl=cfg.scatter_impl,
                                          span_window=cfg.span_window,
-                                         span_chunk=cfg.span_chunk)
+                                         span_chunk=cfg.span_chunk,
+                                         context_pallas=cfg.context_pallas)
         if cfg.scatter_impl == "span":
             # split-table sweep storage: pad u and v host-side (rows to the
             # sweep window, cols to the 128-lane tile); exports/checkpoints
