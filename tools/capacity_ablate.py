@@ -348,6 +348,15 @@ def main():
         measure_chunk("grmw_fori32_banded_ctx", fn, B0, 32,
                       analyze_first=True)
 
+    for Bv in (32_768, 65_536):
+        name = f"grmw_fori8_banded_ctx_B{Bv}"
+        if on(name):
+            fn = make_fused_train_chunk(hyper, V, Bv, steps=8,
+                                        neg_sharing=G, scatter_impl="grmw",
+                                        col_pad=cpad, loop_mode="fori",
+                                        banded=256, context_pallas=True)
+            measure_chunk(name, fn, Bv, 8, analyze_first=True)
+
     if on("grmw_fori8_banded_c256"):
         fn = make_fused_train_chunk(hyper, V, B0, steps=8,
                                     neg_sharing=G, scatter_impl="grmw",
