@@ -38,40 +38,49 @@ def _kernel(bitlevel, reg, pool,
             cavge_ref, dv_ref, loss_ref):
     alpha = scalars_ref[0, 0]
     dt = cavg_ref.dtype
-    cavg = cavg_ref[0]                     # [G, D]
-    v_rows = vrows_ref[0]                  # [P*K, D]
+    TB = cavg_ref.shape[0]                 # tiles per grid block
+    cavg = cavg_ref[:]                     # [TB, G, D]
+    v_rows = vrows_ref[:]                  # [TB, P*K, D]
     q_vn = quantize_values(v_rows, bitlevel)
-    af = af_ref[0]                         # [G, 1] float
-    centers = centers_ref[0]               # [G, 1] int32
-    negs = negs_ref[0]                     # [1, P*K] int32
+    af = af_ref[:]                         # [TB, G, 1] float
+    centers = centers_ref[:]               # [TB, G, 1] int32
+    negs = negs_ref[:]                     # [TB, 1, P*K] int32
 
-    # f = cavg @ q_vn^T : [G, P*K]
-    f = jax.lax.dot_general(cavg, q_vn, (((1,), (1,)), ((), ())),
+    # f = cavg @ q_vn^T : [TB, G, P*K] (batched over the block's tiles —
+    # TB > 1 amortizes Mosaic's per-grid-step overhead; round-5 experiment)
+    f = jax.lax.dot_general(cavg, q_vn, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-    skip = (negs != centers).astype(dt)    # [G, P*K] broadcast compare
-    m = skip * af                          # [G, P*K]
+    skip = (negs != centers).astype(dt)    # [TB, G, P*K] broadcast compare
+    m = skip * af                          # [TB, G, P*K]
     if pool > 1:
         # center g uses only negative pool g % P (cbow_slab.pool_mask,
-        # computed in-register: 2D iota on the VPU)
-        G, PK = f.shape
+        # computed in-register: iota on the VPU)
+        _, G, PK = f.shape
         ctr_pool = jax.lax.broadcasted_iota(jnp.int32, (G, PK), 0) % pool
         neg_pool_ = jax.lax.broadcasted_iota(jnp.int32, (G, PK), 1) \
             // (PK // pool)
-        m = m * (ctr_pool == neg_pool_).astype(dt)
+        m = m * (ctr_pool == neg_pool_).astype(dt)[None]
     g = (0.0 - _sigmoid_lut_values(f)) * alpha * m
 
-    vn_sq = jnp.sum(q_vn * q_vn, axis=-1)[None, :]          # [1, K]
-    loss_ref[pl.program_id(0), 0] = jnp.sum(
-        (jnp.log(_sigmoid_exact_values(-f)) - reg * vn_sq) * m)
+    if reg:
+        vn_sq = jnp.sum(q_vn * q_vn, axis=-1)[:, None, :]   # [TB, 1, K]
+        loss_ref[pl.program_id(0), 0] = jnp.sum(
+            (jnp.log(_sigmoid_exact_values(-f)) - reg * vn_sq) * m)
+    else:
+        loss_ref[pl.program_id(0), 0] = jnp.sum(
+            jnp.log(_sigmoid_exact_values(-f)) * m)
 
-    # cavge contribution: g @ q_vn : [G, D]
-    cavge_ref[0] = jax.lax.dot_general(g, q_vn, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
+    # cavge contribution: g @ q_vn : [TB, G, D]
+    cavge_ref[:] = jax.lax.dot_general(
+        g, q_vn, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
     # dv: g^T @ cavg - 2*alpha*reg * v_rows * visits
-    dv = jax.lax.dot_general(g, cavg, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # [K, D]
-    visits = jnp.sum(m, axis=0)[:, None]                    # [K, 1]
-    dv_ref[0] = dv - (2.0 * alpha * reg) * v_rows * visits
+    dv = jax.lax.dot_general(g, cavg, (((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)  # [TB,K,D]
+    if reg:
+        visits = jnp.sum(m, axis=1)[..., None]              # [TB, K, 1]
+        dv = dv - (2.0 * alpha * reg) * v_rows * visits
+    dv_ref[:] = dv
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
@@ -90,34 +99,43 @@ def quantized_scores_pallas(cavg3, v_rows, centers3, negs, af3, scalars,
     Returns (cavge [T,G,D], dv_neg [T,P*K,D], loss [])."""
     T, G, D = cavg3.shape
     K = v_rows.shape[1]
+    # tiles per grid block: bigger blocks amortize Mosaic's per-step
+    # overhead; pick the largest divisor of T whose block stays ~<= 2 MB
+    TB = 1
+    for cand in (16, 8, 4, 2):
+        if T % cand == 0 and cand * (G + K) * D * 4 <= (2 << 20):
+            TB = cand
+            break
+    nb = T // TB
     cavge, dv, losses = pl.pallas_call(
         functools.partial(_kernel, bitlevel, reg, neg_pool),
-        grid=(T,),
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, G, D), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, G, D), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, D), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, K, D), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, G, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, 1, K), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, G, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, G, D), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, G, D), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, D), lambda t: (t, 0, 0),
+            pl.BlockSpec((TB, K, D), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            # whole (T,1) array in SMEM; each grid step writes its own row
-            pl.BlockSpec((T, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            # whole (nb,1) array in SMEM; each grid step writes its row
+            pl.BlockSpec((nb, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((T, G, D), cavg3.dtype),
             jax.ShapeDtypeStruct((T, K, D), cavg3.dtype),
-            jax.ShapeDtypeStruct((T, 1), cavg3.dtype),
+            jax.ShapeDtypeStruct((nb, 1), cavg3.dtype),
         ),
         interpret=interpret,
     )(cavg3, v_rows, centers3[..., None], negs[:, None, :],
