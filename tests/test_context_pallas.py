@@ -17,12 +17,17 @@ from word2bits_tpu.models.cbow_fused import make_fused_train_chunk
 from word2bits_tpu.sampling.unigram import build_alias_table
 
 
-@pytest.mark.parametrize("steps,pool,simpl", [
-    (1, 1, "add"), (2, 2, "add"), (2, 1, "span"),
+@pytest.mark.parametrize("steps,pool,simpl,bitlevel", [
+    (1, 1, "add", 1), (2, 2, "add", 1), (2, 1, "span", 1),
+    # the kernel's in-register quantizer must track ops.quantize at every
+    # supported grid (0 = identity, 2-bit, and the >=4 rounding branch)
+    (1, 1, "add", 0), (1, 1, "add", 2), (1, 1, "add", 4), (1, 1, "add", 8),
 ])
-def test_fused_chunk_context_pallas_matches_base(rng, steps, pool, simpl):
+def test_fused_chunk_context_pallas_matches_base(rng, steps, pool, simpl,
+                                                 bitlevel):
     V, D, B, W, G = 300, 16, 64, 3, 8
-    hyper = CBOWHyper(bitlevel=1, size=D, window=W, negative=5, reg=0.0)
+    hyper = CBOWHyper(bitlevel=bitlevel, size=D, window=W, negative=5,
+                      reg=0.0)
     n = 4 * B + 2 * W + 16
     tokens = jnp.asarray(rng.integers(0, V, size=n).astype(np.int32))
     sents = jnp.asarray((np.arange(n) // 97).astype(np.int32))
