@@ -137,6 +137,9 @@ def main():
         yield ("p2-ctx-span-banded256-S128", B,
                dict(neg_sharing=G, neg_pool=2, scatter_impl="span",
                     banded=256, context_pallas=True), "fused", 128)
+        yield ("p2B16384-ctx-span-banded256-S128", 16384,
+               dict(neg_sharing=G, neg_pool=2, scatter_impl="span",
+                    banded=256, context_pallas=True), "fused", 128)
         yield ("p1-ctx-span-banded256-S256", B,
                dict(neg_sharing=G, scatter_impl="span",
                     banded=256, context_pallas=True), "fused", 256)
