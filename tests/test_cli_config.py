@@ -178,8 +178,12 @@ def test_context_pallas_validation():
         Word2BitsConfig(context_pallas=True, **kw)
     with pytest.raises(ValueError, match="reg"):
         Word2BitsConfig(context_pallas=True, banded_tile=128, reg=0.1, **kw)
-    with pytest.raises(ValueError, match="fused-table"):
-        Word2BitsConfig(context_pallas=True, banded_tile=128)
+    # the slab CBOW path (no fused tables) is allowed since the kernel
+    # landed there too (round 5) — only non-CBOW models are rejected
+    Word2BitsConfig(context_pallas=True, banded_tile=128)
+    with pytest.raises(ValueError, match="CBOW"):
+        Word2BitsConfig(context_pallas=True, banded_tile=128,
+                        model="skipgram")
     cfg = config_from_argv(
         "-fused-tables 1 -neg-sharing 64 -batch-size 128 -banded-tile 256 "
         "-context-pallas 1".split())
