@@ -100,6 +100,14 @@ def test_single_chip_only_flags_rejected_on_mesh():
         Word2BitsConfig(mesh_shape=mesh, neg_sharing=8, use_pallas=True)
     with pytest.raises(ValueError, match="single-chip"):
         Word2BitsConfig(mesh_shape=mesh, dedup_block=512)
+    with pytest.raises(ValueError, match="single-chip"):
+        Word2BitsConfig(mesh_shape=mesh, neg_sharing=8, banded_tile=128,
+                        context_pallas=True)
+    with pytest.raises(ValueError, match="single-chip"):
+        Word2BitsConfig(mesh_shape=mesh, neg_sharing=8,
+                        fused_tables=True, scatter_impl="grmw")
+    with pytest.raises(ValueError, match="single-chip"):
+        Word2BitsConfig(mesh_shape=mesh, neg_sharing=8, loop_mode="fori")
     Word2BitsConfig(mesh_shape=mesh, neg_sharing=8)  # plain mesh fine
 
 
