@@ -244,9 +244,11 @@ class Word2BitsConfig:
     # magnitudes); and the factor is batch-size-insensitive over B=64..512.
     # At bitlevel 8 (round-5 sweep, tools/sweep_b4_lr.py --bitlevel 8
     # --seeds 5): 1.2x clears the reference mean (57.8±1.5 vs ref
-    # 56.4±0.6) where 1.0x sat within-spread-below (55.5±1.5) and 0.8x
-    # regressed (52.4) — the finest grid still clamps like bitlevel 2,
-    # just with a smaller optimal factor; batch (128/192/256) is no lever.
+    # 56.4±0.6) where 1.0x sat within-spread-below (55.5±1.5), 0.8x
+    # regressed (52.4), 1.3x is at par (57.1±1.9) and 1.5x clearly worse
+    # (52.7±1.9) — a peak at ~1.2x: the finest grid still clamps like
+    # bitlevel 2, just with a smaller optimal factor; batch (128/192/256)
+    # is no lever.
     # auto_lr=True applies the measured factor so reference-default flags
     # reach reference-parity accuracy; `-auto-lr 0` uses `alpha` verbatim.
     auto_lr: bool = True
